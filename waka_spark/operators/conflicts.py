@@ -1,0 +1,202 @@
+"""P23-P24 — entity-mention conflict resolution (exact reference semantics).
+
+Reference (kg_construction.py:111-192): after best-triple selection, the
+entities appearing in triples get their mention lists arbitrated:
+
+- P23 intra-entity (kg_construction.py:119-140): within each entity, for
+  every overlapping span pair (over a *snapshot* of the mention list, while
+  removals hit the live list), drop the mention with the larger
+  Levenshtein(label, text); overlap is inclusive on both ends (kg.py:90-91).
+- P24 cross-entity loop (kg_construction.py:142-157): repeatedly find all
+  (entity, mention) pairs whose spans overlap across different entities,
+  score each ``(1 - lev/maxlen) * (1/|mentions|) * len(text) * score``
+  (kg_construction.py:159-170), remove the lowest-scoring pair's mention,
+  until conflict-free. Then triples whose subject/object lost every mention
+  die, and mention-less entities are pruned (kg_construction.py:151-155).
+
+This is inherently iterative with data-dependent order — per *conversation*
+the data is tiny, so it runs as an ``applyInPandas`` grouped map (exact
+Python semantics, Arrow-batched, one task per conv partition). The
+reference's two nondeterminisms — ``set``-ordered conflict lists and
+``list(set())`` entity order — are replaced by explicit tie-breaks
+(documented in SURVEY.md §4): entities ordered by url; conflicts ordered by
+(score, url, start_idx, end_idx).
+
+Cross-conversation entity resolution at whole-graph scale is the separate
+union-find pass (plans/unionfind.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RESOLVED_SCHEMA = "conv_id string, url string, label string, mentions_json string"
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _overlaps(m1: dict, m2: dict) -> bool:
+    # inclusive overlap predicate, kg.py:90-91
+    return m1["end_idx"] >= m2["start_idx"] and m2["end_idx"] >= m1["start_idx"]
+
+
+def _label_distance(label: str | None, text: str) -> int:
+    return _levenshtein(label if label is not None else "", text)
+
+
+def _conflict_score(entity: dict, mention: dict) -> float:
+    # kg_construction.py:159-170
+    label = entity["label"]
+    text = mention["text"] or ""
+    dist = _label_distance(label, text)
+    denom = max(len(label) if label is not None else 0, len(text))
+    dist_score = 1 - (dist / denom) if denom else 0.0
+    num_mentions = 1 / len(entity["mentions"])
+    return dist_score * num_mentions * len(text) * (mention["score"] or 0.0)
+
+
+def _find_conflicts(entities: list[dict]) -> list[tuple[dict, dict]]:
+    # kg_construction.py:173-192 — cross-entity overlapping pairs only
+    conflicts: list[tuple[dict, dict]] = []
+    seen: set[tuple[int, int]] = set()
+    for k, e1 in enumerate(entities):
+        for i, m1 in enumerate(e1["mentions"]):
+            for e2 in entities[k + 1:]:
+                for m2 in e2["mentions"]:
+                    if _overlaps(m1, m2):
+                        for ent, men in ((e1, m1), (e2, m2)):
+                            key = (id(ent), id(men))
+                            if key not in seen:
+                                seen.add(key)
+                                conflicts.append((ent, men))
+    return conflicts
+
+
+def _resolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    entities = []
+    for _, row in pdf.sort_values("url").iterrows():
+        entities.append({
+            "conv_id": row["conv_id"],
+            "url": row["url"],
+            "label": row["label"] if pd.notna(row["label"]) else None,
+            "mentions": json.loads(row["mentions_json"]),
+        })
+
+    # ---- P23: intra-entity overlap pruning over a snapshot ----------------
+    for entity in entities:
+        snapshot = entity["mentions"][:]
+        for i in range(len(snapshot)):
+            mi = snapshot[i]
+            for j in range(i + 1, len(snapshot)):
+                mj = snapshot[j]
+                if _overlaps(mi, mj):
+                    di = _label_distance(entity["label"], mi["text"] or "")
+                    dj = _label_distance(entity["label"], mj["text"] or "")
+                    loser = mi if di > dj else mj
+                    entity["mentions"] = [
+                        m for m in entity["mentions"] if m is not loser
+                    ]
+
+    # ---- P24: cross-entity fixpoint loop ----------------------------------
+    live = [e for e in entities if e["mentions"]]
+    conflicts = _find_conflicts(live)
+    while conflicts:
+        conflicts.sort(key=lambda pair: (
+            _conflict_score(pair[0], pair[1]),
+            pair[0]["url"] or "",
+            pair[1]["start_idx"] if pair[1]["start_idx"] is not None else -1,
+            pair[1]["end_idx"] if pair[1]["end_idx"] is not None else -1,
+        ))
+        entity, mention = conflicts[0]
+        entity["mentions"] = [m for m in entity["mentions"] if m is not mention]
+        live = [e for e in live if e["mentions"]]
+        conflicts = _find_conflicts(live)
+
+    out = [
+        {
+            "conv_id": e["conv_id"],
+            "url": e["url"],
+            "label": e["label"],
+            "mentions_json": json.dumps(e["mentions"], sort_keys=True),
+        }
+        for e in entities
+        if e["mentions"]
+    ]
+    return pd.DataFrame(
+        out, columns=["conv_id", "url", "label", "mentions_json"]
+    )
+
+
+def resolve_conflicts(entities_with_mentions: DataFrame) -> DataFrame:
+    """entities(conv_id, url, label, mentions array<struct>) → surviving
+    entities with pruned mention lists (as JSON, exploded by the caller)."""
+    prepared = entities_with_mentions.select(
+        "conv_id", "url", "label", F.to_json("mentions").alias("mentions_json")
+    )
+    return prepared.groupBy("conv_id").applyInPandas(
+        _resolve_group, RESOLVED_SCHEMA
+    )
+
+
+def apply_conflict_resolution(
+    fused_triples: DataFrame, entities: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Run conflict resolution over the entities referenced by the fused
+    triples; return (surviving triples, surviving entities-with-mentions).
+
+    Triples survive iff both endpoints kept at least one mention
+    (kg_construction.py:151-155) — realized as two semi joins.
+    """
+    used_urls = (
+        fused_triples.select("conv_id", F.col("subj_url").alias("url"))
+        .unionByName(fused_triples.select("conv_id", F.col("obj_url").alias("url")))
+        .distinct()
+    )
+    participating = entities.join(used_urls, on=["conv_id", "url"], how="left_semi")
+    resolved = resolve_conflicts(participating)
+
+    surviving_urls = resolved.select("conv_id", "url")
+    triples_out = (
+        fused_triples
+        .join(
+            surviving_urls.withColumnRenamed("url", "subj_url"),
+            on=["conv_id", "subj_url"], how="left_semi",
+        )
+        .join(
+            surviving_urls.withColumnRenamed("url", "obj_url"),
+            on=["conv_id", "obj_url"], how="left_semi",
+        )
+    )
+
+    mention_schema = (
+        "array<struct<start_idx:int,end_idx:int,text:string,e_type:string,"
+        "label:string,description:string,score:double>>"
+    )
+    entities_out = (
+        resolved
+        .join(
+            entities.select("conv_id", "url", "description", "score", "e_type"),
+            on=["conv_id", "url"], how="left",
+        )
+        .withColumn("mentions", F.from_json("mentions_json", mention_schema))
+        .drop("mentions_json")
+    )
+    return triples_out, entities_out

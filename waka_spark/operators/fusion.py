@@ -1,0 +1,227 @@
+"""P16-P22 — knowledge fusion: (entities, linked triples) → scored KG triples.
+
+Reference ``KGFactory.build`` (kg_construction.py:53-109):
+
+- P16 mention→entity index (kg_construction.py:194-210): mention text →
+  entities carrying that surface, each a copy with ``score := mention.score``
+  (dedup per url keeps the best-scored mention first — desc order), plus the
+  *longest-containing-key* fallback for endpoint texts with no exact surface
+  match (kg_construction.py:221-227).
+- P17 candidate pairing (kg_construction.py:59-85): subj-candidates ×
+  obj-candidates, ``subj.url != obj.url``, ``score = mean(subj, obj)``,
+  threshold 0.1, per-triple-set cap 10 before the scorers.
+- P18 known-triple boost ×3 (semantics.py:55-91) — a broadcast/semi join
+  against a ``known_triples`` reference table replacing per-triple SPARQL ASK.
+- P21 best-triple per set, keep if score ≥ 0.1 (kg_construction.py:90-98).
+- P22 triple dedup by (subj_url, pred_url, obj_url) (kg_construction.py:102).
+
+Determinism notes (SURVEY.md §4 hazards): the reference breaks fallback ties
+by Python sort stability and dedups via ``set``; we impose explicit
+tie-breaks (length desc → text asc; score desc → url asc) and max-score
+dedup so results are stable under any partitioning.
+
+Scale notes: the only shuffles are the two endpoint-resolution joins (hash
+on (conv_id, text) — co-partitioned with the upstream mention/cluster
+shuffles) and the final per-set windows, all AQE-coalesced. The cross
+product is per-endpoint-pair within one conversation (≤ top-40 × top-40
+before thresholds) — bounded, never a global cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from waka_spark.config import FusionConfig
+
+
+def mention_entity_index(entities: DataFrame) -> DataFrame:
+    """P16: (conv_id, mention_text) → candidate entity rows with
+    ``score = max mention score for that surface`` (the reference keeps the
+    first mention in desc-score order per (text, url) — i.e. the max,
+    kg_construction.py:194-210)."""
+    return (
+        entities
+        .select(
+            "conv_id", "url", "label", "description", "e_type",
+            F.explode("mentions").alias("m"),
+        )
+        .select(
+            "conv_id", "url", "label", "description", "e_type",
+            F.col("m")["text"].alias("mention_text"),
+            F.col("m")["score"].alias("mention_score"),
+        )
+        .groupBy("conv_id", "mention_text", "url")
+        .agg(
+            F.max("mention_score").alias("score"),
+            F.first("label", ignorenulls=False).alias("label"),
+            F.first("description", ignorenulls=False).alias("description"),
+            F.first("e_type").alias("e_type"),
+        )
+    )
+
+
+def resolve_endpoints(
+    endpoint_texts: DataFrame, index: DataFrame
+) -> DataFrame:
+    """P16 lookup: endpoint_texts(conv_id, q_text) → candidate entities.
+
+    Exact surface match first; otherwise all entities of the single
+    *longest* mention surface containing q_text (ties → lexicographically
+    smallest surface), per kg_construction.py:221-227. Empty q_text resolves
+    to nothing (kg_construction.py:218-219).
+    """
+    queries = endpoint_texts.filter(F.col("q_text").isNotNull() & (F.col("q_text") != ""))
+
+    exact = queries.join(
+        index,
+        on=[
+            queries["conv_id"] == index["conv_id"],
+            queries["q_text"] == index["mention_text"],
+        ],
+    ).select(queries["conv_id"], "q_text", "url", "label", "description",
+             "e_type", "score")
+
+    misses = queries.join(
+        index.select("conv_id", "mention_text").distinct(),
+        on=[
+            queries["conv_id"] == index["conv_id"],
+            queries["q_text"] == index["mention_text"],
+        ],
+        how="left_anti",
+    )
+
+    containment = misses.join(
+        index,
+        on=[
+            misses["conv_id"] == index["conv_id"],
+            index["mention_text"].contains(misses["q_text"]),
+        ],
+    ).select(misses["conv_id"], "q_text", "mention_text", "url", "label",
+             "description", "e_type", "score")
+
+    w = Window.partitionBy("conv_id", "q_text").orderBy(
+        F.length("mention_text").desc(), F.col("mention_text").asc()
+    )
+    fallback = (
+        containment
+        .withColumn("_key_rank", F.dense_rank().over(w))
+        .filter(F.col("_key_rank") == 1)
+        .drop("_key_rank", "mention_text")
+    )
+
+    return exact.unionByName(fallback)
+
+
+def fuse_triples(
+    linked_triples: DataFrame,
+    entities: DataFrame,
+    known_triples: DataFrame | None = None,
+    extra_scorer: Callable[[DataFrame], DataFrame] | None = None,
+    cfg: FusionConfig = FusionConfig(),
+    use_scorers: bool = True,
+) -> DataFrame:
+    """P17→P18→P21→P22. Returns fused triples:
+    (conv_id, ts_id, subj_url, pred_url, obj_url, score, id_,
+    subj/obj label+description+e_type) — one best triple per extracted
+    triple-set, deduped per conversation.
+
+    ``use_scorers=False`` reproduces the reference's ``KGConstructor([])``
+    fusion-only evaluation mode (evaluate_kg_creation.py:17): no cap, no
+    boost (the cap is applied only when scorers run, kg_construction.py:79-85).
+    """
+    index = mention_entity_index(entities)
+
+    triples = linked_triples.withColumn(
+        "ts_id",
+        F.xxhash64("conv_id", "subj_text", "pred_text", "obj_text").cast("string"),
+    )
+
+    endpoints = (
+        triples.select("conv_id", F.col("subj_text").alias("q_text"))
+        .unionByName(triples.select("conv_id", F.col("obj_text").alias("q_text")))
+        .distinct()
+    )
+    resolved = resolve_endpoints(endpoints, index)
+
+    subj_c = resolved.select(
+        F.col("conv_id").alias("s_conv"), F.col("q_text").alias("s_text"),
+        F.col("url").alias("subj_url"), F.col("label").alias("subj_label"),
+        F.col("description").alias("subj_description"),
+        F.col("e_type").alias("subj_e_type"), F.col("score").alias("subj_score"),
+    )
+    obj_c = resolved.select(
+        F.col("conv_id").alias("o_conv"), F.col("q_text").alias("o_text"),
+        F.col("url").alias("obj_url"), F.col("label").alias("obj_label"),
+        F.col("description").alias("obj_description"),
+        F.col("e_type").alias("obj_e_type"), F.col("score").alias("obj_score"),
+    )
+
+    candidates = (
+        triples
+        .join(subj_c, (F.col("conv_id") == F.col("s_conv"))
+              & (F.col("subj_text") == F.col("s_text")))
+        .join(obj_c, (F.col("conv_id") == F.col("o_conv"))
+              & (F.col("obj_text") == F.col("o_text")))
+        .drop("s_conv", "s_text", "o_conv", "o_text")
+        .filter(F.col("subj_url") != F.col("obj_url"))
+        .withColumn("score", (F.col("subj_score") + F.col("obj_score")) / 2.0)
+        .filter(F.col("score") >= cfg.candidate_threshold)
+    )
+
+    w_set = Window.partitionBy("ts_id").orderBy(
+        F.col("score").desc(), F.col("subj_url").asc(), F.col("obj_url").asc()
+    )
+
+    if use_scorers:
+        candidates = (
+            candidates
+            .withColumn("_rn", F.row_number().over(w_set))
+            .filter(F.col("_rn") <= cfg.candidate_cap)
+            .drop("_rn")
+        )
+        if known_triples is not None:
+            hit = F.broadcast(known_triples).withColumn("_known", F.lit(True))
+            candidates = (
+                candidates
+                .join(hit, on=["subj_url", "pred_url", "obj_url"], how="left")
+                .withColumn(
+                    "score",
+                    F.when(F.col("_known"),
+                           F.col("score") * cfg.known_triple_boost)
+                    .otherwise(F.col("score")),
+                )
+                .drop("_known")
+            )
+        if extra_scorer is not None:
+            candidates = extra_scorer(candidates)
+
+    best = (
+        candidates
+        .withColumn("_rn", F.row_number().over(w_set))
+        .filter((F.col("_rn") == 1) & (F.col("score") >= cfg.best_threshold))
+        .drop("_rn")
+    )
+
+    # P22: triple identity dedup within the conversation (kg.py:224-225);
+    # max-score representative for determinism
+    w_ident = Window.partitionBy("conv_id", "subj_url", "pred_url", "obj_url").orderBy(
+        F.col("score").desc(), F.col("ts_id").asc()
+    )
+    fused = (
+        best
+        .withColumn("_rn", F.row_number().over(w_ident))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "id_", F.xxhash64("subj_url", "pred_url", "obj_url").cast("string")
+        )
+    )
+    return fused.select(
+        "conv_id", "ts_id", "id_", "subj_url", "pred_url", "obj_url", "score",
+        "subj_label", "subj_description", "subj_e_type",
+        "obj_label", "obj_description", "obj_e_type",
+        "pred_label", "pred_description",
+    )

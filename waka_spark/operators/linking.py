@@ -1,0 +1,124 @@
+"""P8-P10 — entity linking as a broadcast dictionary join.
+
+The reference sends one Elasticsearch ``function_score`` query per unlinked
+mention (batched via msearch, entity_linking.py:95-102): Lucene best-fields
+over ``label^alpha, search_key`` with a ``log1p(frequency)*beta`` popularity
+boost, floor ``min_score=8``, top-40, score normalized ``/305``
+(entity_linking.py:20,36-58,129). Pre-linked literal mentions pass through
+with score 1.0 (entity_linking.py:83-93); ``Category:`` labels are dropped
+(entity_linking.py:113-116).
+
+Here the index is a *dictionary table* ``wd_aliases(alias_key, url, label,
+description, frequency)`` and the query is a **broadcast hash join** — no
+per-mention RPC, no shuffle of the (huge) mentions side. The rank expression
+is a closed-form surrogate of the ES score, monotone in (label-match,
+frequency) like the original:
+
+    raw = (alpha if variant == lower(label) else 1.0)
+          * base_gain * beta * log1p(frequency)
+
+Query expansion (P9, entity_linking.py:135-146): the mention text, its
+comma-split parts, its ``'s``-stripped form, and gazetteer
+nationality→country expansions — realized as an ``explode`` of variants
+before the join, with the best (max-raw) hit kept per (mention, url).
+
+Scale notes: mentions-side narrow until the final per-span ``row_number``
+top-k; the dictionary is broadcast (the real Wikidata alias table at ~100M
+rows would instead be bucketed on alias_key and the join pre-shuffled on the
+same buckets — both sides hash-partitioned once, no repeated shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from waka_spark.config import LinkerConfig
+from waka_spark.functions.text_norm import expansion_variants, norm_key
+
+CANDIDATE_COLS = [
+    "conv_id", "start_idx", "end_idx", "text", "e_type", "url",
+    "label", "description", "score",
+]
+
+
+def link_entities(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    nationalities: DataFrame | None = None,
+    cfg: LinkerConfig = LinkerConfig(),
+) -> DataFrame:
+    """mentions → candidates (LinkedEntity rows, kg.py:94-117).
+
+    Output identity: (conv_id, start_idx, end_idx, url) — P10's
+    ``list(set(linked_entities))`` dedup (entity_linking.py:133).
+    """
+    prelinked = (
+        mentions
+        .filter(F.col("url").isNotNull())
+        .select(
+            "conv_id", "start_idx", "end_idx", "text", "e_type", "url",
+            F.lit(None).cast("string").alias("label"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+    unlinked = mentions.filter(F.col("url").isNull()).drop("url")
+
+    # --- P9 query expansion -------------------------------------------------
+    variants = unlinked.withColumn("variant", F.explode(expansion_variants(F.col("text"))))
+    if nationalities is not None:
+        nat_hits = (
+            unlinked
+            .join(
+                F.broadcast(nationalities),
+                norm_key(F.col("text")) == norm_key(F.col("nationality")),
+            )
+            .withColumn("variant", F.col("country"))
+            .drop("nationality", "country")
+        )
+        variants = variants.unionByName(nat_hits)
+    variants = variants.withColumn("variant_key", norm_key(F.col("variant")))
+
+    # --- P8 broadcast candidate join ---------------------------------------
+    hits = (
+        variants
+        .join(F.broadcast(aliases), F.col("variant_key") == F.col("alias_key"))
+        .filter(
+            F.col("label").isNull()
+            | ~F.lower(F.col("label")).startswith("category:")
+        )
+        .withColumn(
+            "raw_score",
+            F.when(F.col("variant_key") == norm_key(F.col("label")), F.lit(cfg.alpha))
+            .otherwise(F.lit(1.0))
+            * F.lit(cfg.base_gain)
+            * F.lit(cfg.beta)
+            * F.log1p(F.coalesce(F.col("frequency"), F.lit(1)).cast("double")),
+        )
+        .filter(F.col("raw_score") >= cfg.min_score)
+    )
+
+    # best variant per (mention, url), then top-k per mention
+    per_url = (
+        hits
+        .groupBy("conv_id", "start_idx", "end_idx", "text", "e_type", "url")
+        .agg(
+            F.max("raw_score").alias("raw_score"),
+            F.max_by("label", "raw_score").alias("label"),
+            F.max_by("description", "raw_score").alias("description"),
+        )
+    )
+    w = Window.partitionBy("conv_id", "start_idx", "end_idx").orderBy(
+        F.col("raw_score").desc(), F.col("url").asc()
+    )
+    linked = (
+        per_url
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cfg.max_results)
+        .withColumn("score", F.col("raw_score") / F.lit(cfg.score_norm))
+        .select(*CANDIDATE_COLS)
+    )
+
+    return linked.unionByName(prelinked)

@@ -1,0 +1,195 @@
+"""P2-P7 — entity mention detection.
+
+The reference runs an ensemble of three transformer NER backends per document
+(entity_recognition.py:332-349) and unions their mentions with span-only set
+identity (kg.py:34-35). We reproduce the *dataflow*: N pluggable mention
+sources → ``union_mentions`` (priority-ordered span dedup). Backends:
+
+- ``gazetteer_ner`` — deterministic surface scan (Arrow-batched
+  ``mapInPandas``; one compiled alternation regex per executor, all
+  word-boundary occurrences). The CPU test/bench backend.
+- ``regex_literal_ner`` — numbers / percents / years → typed-literal
+  mentions (the P7 literal-encoding path, entity_recognition.py:84-97).
+- ``merge_token_runs`` — the relational equivalent of spaCy's contiguous
+  PROPN/NOUN run merge (entity_recognition.py:101-171): lag-compare
+  sessionization + run-prefix emission, pure DataFrame ops.
+- transformer backends (spaCy/Stanza/Flair analogs) share the same
+  ``mapInPandas`` shape with per-executor model caches; gated behind
+  import guards since the models aren't in this environment.
+
+Scale notes: each backend is a narrow map over documents (no shuffle);
+the union is a unionByName + one ``row_number`` per span — a single shuffle
+on (doc key, span), partition-pruned by the documents' conv_id partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from waka_spark.config import DATE_TYPES, DECIMAL_TYPES
+from waka_spark.functions.aho import AhoCorasick, word_bounded
+from waka_spark.functions.literals import encode_literal
+
+MENTION_COLS = "conv_id string, start_idx int, end_idx int, text string, e_type string, url string"
+_EMPTY_MENTIONS = pd.DataFrame(
+    {k: [] for k in ("conv_id", "start_idx", "end_idx", "text", "e_type", "url")}
+)
+
+
+def gazetteer_ner(
+    documents: DataFrame, gazetteer: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """All word-boundary occurrences of every gazetteer surface.
+
+    The gazetteer is closed over (driver-side list, shipped with the
+    serialized UDF) — it is a *dictionary*, small by construction; the
+    documents side streams through Arrow batches. One Aho–Corasick pass per
+    document finds all overlapping occurrences of every surface; the
+    automaton is built lazily once per executor process.
+    """
+    type_of = {s: t for s, t in gazetteer}
+    surfaces = list(type_of)
+    automaton_cell: list[AhoCorasick] = []
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not automaton_cell:  # per-executor lazy build
+            automaton_cell.append(AhoCorasick(surfaces))
+        ac = automaton_cell[0]
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv_id", "start_idx", "end_idx", "text", "e_type", "url")}
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if not text:
+                    continue
+                for start, end, surface in ac.finditer(text):
+                    if not word_bounded(text, start, end):
+                        continue
+                    e_type = type_of[surface]
+                    out["conv_id"].append(conv_id)
+                    out["start_idx"].append(start)
+                    out["end_idx"].append(end)
+                    out["text"].append(surface)
+                    out["e_type"].append(e_type)
+                    out["url"].append(encode_literal(surface, e_type))
+            yield pd.DataFrame(out) if out["conv_id"] else _EMPTY_MENTIONS
+
+    return documents.select("conv_id", "text").mapInPandas(scan, MENTION_COLS)
+
+
+_NUMBER_RE = re.compile(r"(?<![\w.])[+-]?\d[\d,]*(?:\.\d+)?%?(?![\w.%])")
+_YEAR_RE = re.compile(r"(?<!\w)(1[0-9]{3}|20[0-9]{2})(?!\w)")
+
+
+def regex_literal_ner(documents: DataFrame) -> DataFrame:
+    """Numeric/percent/year mentions with typed-literal URLs (P7).
+
+    Labels follow the reference's NER label sets (entity_recognition.py:34-36):
+    ``%``-suffixed → PERCENT, bare 4-digit years → DATE, other numbers →
+    CARDINAL. The URL is minted here, so these mentions pass through entity
+    linking as pre-linked literals with score 1.0 (entity_linking.py:83-93).
+    """
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv_id", "start_idx", "end_idx", "text", "e_type", "url")}
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if not text:
+                    continue
+                spans: dict[tuple[int, int], tuple[str, str]] = {}
+                for m in _YEAR_RE.finditer(text):
+                    spans[(m.start(), m.end())] = (m.group(0), "DATE")
+                for m in _NUMBER_RE.finditer(text):
+                    key = (m.start(), m.end())
+                    if key not in spans:
+                        e_type = "PERCENT" if m.group(0).endswith("%") else "CARDINAL"
+                        spans[key] = (m.group(0), e_type)
+                for (s, e), (surface, e_type) in spans.items():
+                    out["conv_id"].append(conv_id)
+                    out["start_idx"].append(s)
+                    out["end_idx"].append(e)
+                    out["text"].append(surface)
+                    out["e_type"].append(e_type)
+                    out["url"].append(encode_literal(surface, e_type))
+            yield pd.DataFrame(out)
+
+    return documents.select("conv_id", "text").mapInPandas(scan, MENTION_COLS)
+
+
+def union_mentions(*backends: DataFrame) -> DataFrame:
+    """P6 — ensemble union with span-only identity (kg.py:34-35): the
+    reference's ``set.union`` keeps the element from the *earlier* backend
+    (entity_recognition.py:343-348), so dedup is priority-ordered:
+    backend order in ``*backends`` is the priority order."""
+    tagged = [df.withColumn("_prio", F.lit(i)) for i, df in enumerate(backends)]
+    unioned = tagged[0]
+    for df in tagged[1:]:
+        unioned = unioned.unionByName(df)
+    w = Window.partitionBy("conv_id", "start_idx", "end_idx").orderBy("_prio")
+    return (
+        unioned
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def merge_token_runs(
+    tokens: DataFrame, tags: Iterable[str] = ("PROPN", "NOUN")
+) -> DataFrame:
+    """Relational reimplementation of spaCy noun-run merging
+    (entity_recognition.py:101-171): contiguous same-POS runs of
+    PROPN/NOUN tokens yield (a) every single token as a mention and
+    (b) every run *prefix* of length ≥ 2 (the reference appends the
+    accumulated run at each extension step).
+
+    Input: tokens(conv_id, token_idx, start_idx, end_idx, text, pos).
+    Output: mention rows (url null, e_type = POS tag).
+
+    Pattern: lag-compare → run-id cumsum → run-prefix window mins. This is
+    the same sessionization shape usable for any ordered-run detection.
+    """
+    tags_list = list(tags)
+    w_order = Window.partitionBy("conv_id").orderBy("token_idx")
+    tok = (
+        tokens
+        .withColumn("_tagged", F.col("pos").isin(tags_list))
+        .withColumn("_prev_pos", F.lag("pos").over(w_order))
+        .withColumn(
+            "_new_run",
+            (~F.col("_tagged")) | F.col("_prev_pos").isNull()
+            | (F.col("_prev_pos") != F.col("pos")),
+        )
+        .withColumn(
+            "_run_id",
+            F.sum(F.col("_new_run").cast("int")).over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter("_tagged")
+    )
+    w_run = Window.partitionBy("conv_id", "_run_id").orderBy("token_idx")
+    singles = tok.select(
+        "conv_id", "start_idx", "end_idx", "text",
+        F.col("pos").alias("e_type"), F.lit(None).cast("string").alias("url"),
+    )
+    prefixes = (
+        tok
+        .withColumn("_pos_in_run", F.row_number().over(w_run))
+        .withColumn("_run_start", F.min("start_idx").over(w_run))
+        .filter(F.col("_pos_in_run") >= 2)
+        .select(
+            "conv_id",
+            F.col("_run_start").alias("start_idx"),
+            "end_idx",
+            F.lit(None).cast("string").alias("text"),  # caller substrings doc
+            F.col("pos").alias("e_type"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+    return singles.unionByName(prefixes)

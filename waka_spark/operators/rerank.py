@@ -1,0 +1,146 @@
+"""P11 — sentence-context candidate reranking.
+
+Reference (semantics.py:176-221): Punkt sentence spans; every candidate with
+a label/description whose span lies inside a sentence gets its score
+multiplied by cos-sim(SBERT(sentence), SBERT(f"{label} is a {description}"));
+then all candidates are sorted by score and filtered at ``score >= 0.05``
+(semantics.py:221). Pre-linked literals (label/description None) are not
+rescored but *are* subject to the final filter (they pass at score 1.0).
+
+Dataflow here:
+1. sentence split — Arrow-batched mapInPandas (regex splitter standing in
+   for Punkt; same span semantics: (start, end) character offsets);
+2. candidate→sentence alignment — a range-containment join per conv_id;
+3. similarity on **distinct** (sentence, label, description) pairs — the
+   reference's label-dedup common-subexpression elimination (semantics.py:
+   155-167 analog) — then joined back;
+4. multiply + threshold filter.
+
+The similarity backend is pluggable. The deterministic CPU backend is
+lexical containment — |tokens(label∪description) ∩ tokens(sentence)| /
+|tokens(label∪description)| — affinely calibrated to the SBERT cos-sim range
+(sim = 0.3 + 0.7·containment), monotone in lexical agreement. A transformer
+backend drops in by replacing ``_sim_udf`` with an SBERT pandas UDF with a
+per-executor model cache.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$")
+
+SENTENCE_COLS = "conv_id string, sent_idx int, sent_start int, sent_end int, sent_text string"
+
+
+def split_sentences(documents: DataFrame) -> DataFrame:
+    """documents → sentences with character spans (Punkt analog)."""
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv_id", "sent_idx", "sent_start", "sent_end", "sent_text")}
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if not text:
+                    continue
+                for i, m in enumerate(_SENT_RE.finditer(text)):
+                    raw = m.group(0)
+                    stripped = raw.rstrip()
+                    if not stripped:
+                        continue
+                    out["conv_id"].append(conv_id)
+                    out["sent_idx"].append(i)
+                    out["sent_start"].append(m.start())
+                    out["sent_end"].append(m.start() + len(stripped))
+                    out["sent_text"].append(stripped)
+            yield pd.DataFrame(out)
+
+    return documents.select("conv_id", "text").mapInPandas(split, SENTENCE_COLS)
+
+
+def _tokens(s: str) -> set[str]:
+    return set(re.findall(r"[a-z0-9]+", s.lower()))
+
+
+def lexical_containment_sim(sent: str, label: str, description: str) -> float:
+    cand = _tokens(f"{label or ''} {description or ''}")
+    if not cand:
+        return 1.0
+    overlap = len(cand & _tokens(sent or ""))
+    return 0.3 + 0.7 * (overlap / len(cand))
+
+
+@F.pandas_udf(T.DoubleType())
+def _sim_udf(sent: pd.Series, label: pd.Series, desc: pd.Series) -> pd.Series:
+    return pd.Series([
+        lexical_containment_sim(s, l, d)
+        for s, l, d in zip(sent, label, desc)
+    ])
+
+
+def rerank_candidates(
+    candidates: DataFrame,
+    sentences: DataFrame,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Multiply candidate scores by sentence-context similarity, then filter
+    at ``threshold`` (semantics.py:215-221)."""
+    scorable = candidates.filter(
+        F.col("label").isNotNull() | F.col("description").isNotNull()
+    )
+    passthrough = candidates.filter(
+        F.col("label").isNull() & F.col("description").isNull()
+    )
+
+    # sentence containing the candidate span (range-containment join);
+    # candidates spanning sentence boundaries keep their score, matching the
+    # reference's skip behavior (semantics.py:205-206)
+    aligned = scorable.join(
+        sentences,
+        on=[
+            scorable["conv_id"] == sentences["conv_id"],
+            scorable["start_idx"] >= sentences["sent_start"],
+            scorable["end_idx"] <= sentences["sent_end"],
+        ],
+        how="left",
+    ).drop(sentences["conv_id"])
+
+    # score each distinct (sentence, label, description) once, join back
+    distinct_pairs = (
+        aligned
+        .select("sent_text", "label", "description")
+        .filter(F.col("sent_text").isNotNull())
+        .distinct()
+        .withColumn("sim", _sim_udf("sent_text", "label", "description"))
+    )
+    rescored = (
+        aligned
+        .join(
+            distinct_pairs,
+            on=["sent_text", "label", "description"],
+            how="left",
+        )
+        .withColumn("score", F.col("score") * F.coalesce("sim", F.lit(1.0)))
+        # a span may sit in multiple sentences only if the splitter ever
+        # overlapped (it doesn't); keep min-sent_idx deterministically anyway
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "start_idx", "end_idx", "url")
+                .orderBy(F.col("sent_idx").asc_nulls_last())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(*candidates.columns)
+    )
+
+    return (
+        rescored.unionByName(passthrough)
+        .filter(F.col("score") >= threshold)
+    )
