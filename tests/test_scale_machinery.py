@@ -1,0 +1,110 @@
+"""Union-find canonicalization, checkpoint/resume, chunked skew capping."""
+
+import pytest
+
+from waka_spark.plans.checkpoint import CheckpointManager, run_checkpointed
+from waka_spark.plans.unionfind import canonicalize_graph, connected_components
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")],
+        "src string, dst string",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert "z" not in comp  # self-loop: isolated, caller coalesces
+
+
+def test_connected_components_chain(spark):
+    # longer diameter exercises the iteration + convergence check
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n0"}
+
+
+def test_canonicalize_graph_rewrites_and_dedups(spark):
+    triples = spark.createDataFrame(
+        [
+            ("c1", "Q1", "P1", "Q2", 0.9),
+            ("c2", "Q1b", "P1", "Q2", 0.5),   # Q1b same-as Q1 → dedups with above
+            ("c3", "Q1", "P1", "Q1b", 0.7),   # collapses to self-loop → dropped
+        ],
+        "conv_id string, subj_url string, pred_url string, obj_url string, score double",
+    )
+    same_as = spark.createDataFrame([("Q1", "Q1b")], "src string, dst string")
+    canon, mapping = canonicalize_graph(triples, same_as)
+    rows = canon.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.subj_url, r.obj_url) == ("Q1", "Q2")
+    assert r.score == 0.9 and r.support == 2
+    assert sorted(r.conv_ids) == ["c1", "c2"]
+
+
+@pytest.fixture
+def synth_small(spark):
+    from waka_spark import synth
+    from waka_spark.plans.pipeline import KGPipeline
+
+    kb = synth.build_kb(20)
+    pipe = KGPipeline(
+        aliases=synth.aliases_df(spark, kb),
+        properties=synth.properties_df(spark),
+        gazetteer=synth.gazetteer(kb),
+        rules=synth.rules_df(spark, kb),
+        use_scorers=False,
+    )
+    transcripts = synth.synth_transcripts(
+        spark, kb, n_convs=6, hot_every=5, hot_turns=12, base_turns=5)
+    return pipe, transcripts
+
+
+def test_checkpoint_resume(spark, synth_small, tmp_path):
+    pipe, transcripts = synth_small
+
+    m1 = CheckpointManager(spark, str(tmp_path), "run-A")
+    out1 = run_checkpointed(pipe, transcripts, m1)
+    t1 = sorted(
+        (r.subj_url, r.pred_url, r.obj_url)
+        for r in out1["triples"].collect()
+    )
+    assert m1.stages_run and not m1.stages_resumed
+    assert m1.manifest("documents")["rows_out"] == 6
+    assert m1.manifest("documents")["partitions"]  # per-partition counters
+
+    # resume: same run_id → every stage loads from its checkpoint
+    m2 = CheckpointManager(spark, str(tmp_path), "run-A")
+    out2 = run_checkpointed(pipe, transcripts, m2)
+    t2 = sorted(
+        (r.subj_url, r.pred_url, r.obj_url)
+        for r in out2["triples"].collect()
+    )
+    assert not m2.stages_run and len(m2.stages_resumed) >= 8
+    assert t1 == t2
+
+
+def test_checkpoint_partial_resume(spark, synth_small, tmp_path):
+    """Kill-and-resume: only some stages committed → resume recomputes the
+    rest and the final tables are identical to an uninterrupted run."""
+    pipe, transcripts = synth_small
+
+    # simulate a run killed after two stages
+    m_partial = CheckpointManager(spark, str(tmp_path), "run-B")
+    docs = m_partial.stage("documents", lambda: pipe.documents(transcripts))
+    m_partial.stage("mentions", lambda: pipe.mentions(docs))
+
+    m_resume = CheckpointManager(spark, str(tmp_path), "run-B")
+    out = run_checkpointed(pipe, transcripts, m_resume)
+    assert m_resume.stages_resumed[:2] == ["documents", "mentions"]
+    assert "candidates" in m_resume.stages_run
+
+    m_fresh = CheckpointManager(spark, str(tmp_path), "run-C")
+    fresh = run_checkpointed(pipe, transcripts, m_fresh)
+    got = sorted(map(tuple, out["triples"]
+                     .select("subj_url", "pred_url", "obj_url").collect()))
+    want = sorted(map(tuple, fresh["triples"]
+                      .select("subj_url", "pred_url", "obj_url").collect()))
+    assert got == want

@@ -81,7 +81,9 @@ def gazetteer_ner(
     return documents.select("conv_id", "text").mapInPandas(scan, MENTION_COLS)
 
 
-_NUMBER_RE = re.compile(r"(?<![\w.])[+-]?\d[\d,]*(?:\.\d+)?%?(?![\w.%])")
+# trailing guard blocks decimal/percent continuations ("3.14"→whole match
+# only, "27%%"→none) but not sentence punctuation ("staff 4019.")
+_NUMBER_RE = re.compile(r"(?<![\w.])[+-]?\d[\d,]*(?:\.\d+)?%?(?!\w|\.\d|%)")
 _YEAR_RE = re.compile(r"(?<!\w)(1[0-9]{3}|20[0-9]{2})(?!\w)")
 
 

@@ -1,0 +1,115 @@
+"""Distributed union-find / connected components for cross-conversation
+entity resolution (the north-rule canonicalization pass).
+
+The reference has no cross-document concept — each request builds an
+isolated KG (kg_construction.py:267-282). At 10^12-turn scale the same
+real-world entity surfaces in millions of conversations; canonicalization
+groups equivalent node URLs and rewrites edges to canonical endpoints.
+
+Algorithm: iterative min-label propagation to fixpoint — each round every
+node adopts the minimum component label among itself and its neighbors
+(one join + one aggregation per round; converges in O(component diameter)
+rounds, which for same-as cliques is 1-2). Each round is
+``localCheckpoint``-ed to cut lineage growth (SURVEY.md §4). For adversarial
+long-chain graphs swap in the large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — same
+interface; chain graphs do not arise from same-as relations here.
+
+Equivalence edges come from ``same_as_edges``: explicit owl:sameAs-style
+pairs (e.g. from the alias dictionary mapping multiple URLs to one QID), or
+any caller-supplied relation (e.g. embedding-similarity matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id
+    (string or numeric ordering) of the node's connected component.
+
+    Isolated nodes absent from ``edges`` are their own components (callers
+    left-join and coalesce to the node id).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_graph(
+    triples: DataFrame,
+    same_as_edges: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite triple endpoints to canonical component representatives.
+
+    Returns (canonical_triples, mapping). Triples whose endpoints collapse
+    to the same canonical url are dropped (mirroring the reference's
+    ``subj.url != obj.url`` guard, kg_construction.py:67); identical
+    canonical triples from different conversations dedup globally on
+    (subj_url, pred_url, obj_url) keeping the max score.
+    """
+    mapping = connected_components(same_as_edges)
+
+    def canon(df: DataFrame, col: str) -> DataFrame:
+        m = mapping.withColumnRenamed("node", col).withColumnRenamed(
+            "component", f"_canon_{col}"
+        )
+        return df.join(m, on=col, how="left").withColumn(
+            col, F.coalesce(f"_canon_{col}", col)
+        ).drop(f"_canon_{col}")
+
+    rewritten = canon(canon(triples, "subj_url"), "obj_url").filter(
+        F.col("subj_url") != F.col("obj_url")
+    )
+    global_dedup = (
+        rewritten
+        .groupBy("subj_url", "pred_url", "obj_url")
+        .agg(
+            F.max("score").alias("score"),
+            F.count("*").alias("support"),
+            F.collect_set("conv_id").alias("conv_ids"),
+        )
+        .withColumn(
+            "id_", F.xxhash64("subj_url", "pred_url", "obj_url").cast("string")
+        )
+    )
+    return global_dedup, mapping
