@@ -73,20 +73,47 @@ def _conflict_score(entity: dict, mention: dict) -> float:
     return dist_score * num_mentions * len(text) * (mention["score"] or 0.0)
 
 
+def _overlapping_pairs(
+    items: list[tuple[int, int, int, object]]
+) -> list[tuple[object, object]]:
+    """All pairs of inclusively-overlapping intervals via a sweep line:
+    O(m log m + k) instead of the reference's all-pairs scan — the pair
+    *set* is identical, so downstream semantics are unchanged.
+
+    items: (start, end, seq, payload); seq preserves insertion order so
+    callers can re-order pairs to match reference iteration order.
+    """
+    pairs: list[tuple[object, object]] = []
+    active: list[tuple[int, int, int, object]] = []
+    for it in sorted(items, key=lambda x: (x[0], x[1], x[2])):
+        start = it[0]
+        active = [a for a in active if a[1] >= start]  # inclusive overlap
+        pairs.extend((a[3], it[3]) for a in active)
+        active.append(it)
+    return pairs
+
+
 def _find_conflicts(entities: list[dict]) -> list[tuple[dict, dict]]:
-    # kg_construction.py:173-192 — cross-entity overlapping pairs only
+    """kg_construction.py:173-192 — cross-entity overlapping (entity,
+    mention) pairs, found by interval sweep over all live mentions."""
+    items = []
+    seq = 0
+    for k, ent in enumerate(entities):
+        for m in ent["mentions"]:
+            if m["start_idx"] is None or m["end_idx"] is None:
+                continue
+            items.append((m["start_idx"], m["end_idx"], seq, (k, ent, m)))
+            seq += 1
     conflicts: list[tuple[dict, dict]] = []
     seen: set[tuple[int, int]] = set()
-    for k, e1 in enumerate(entities):
-        for i, m1 in enumerate(e1["mentions"]):
-            for e2 in entities[k + 1:]:
-                for m2 in e2["mentions"]:
-                    if _overlaps(m1, m2):
-                        for ent, men in ((e1, m1), (e2, m2)):
-                            key = (id(ent), id(men))
-                            if key not in seen:
-                                seen.add(key)
-                                conflicts.append((ent, men))
+    for (k1, e1, m1), (k2, e2, m2) in _overlapping_pairs(items):
+        if k1 == k2:
+            continue  # cross-entity only
+        for ent, men in ((e1, m1), (e2, m2)):
+            key = (id(ent), id(men))
+            if key not in seen:
+                seen.add(key)
+                conflicts.append((ent, men))
     return conflicts
 
 
@@ -101,19 +128,27 @@ def _resolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
         })
 
     # ---- P23: intra-entity overlap pruning over a snapshot ----------------
+    # the sweep finds the overlapping-pair set; processing the pairs in
+    # (i, j) snapshot order reproduces the reference's nested-loop order
+    # exactly (kg_construction.py:119-140)
     for entity in entities:
         snapshot = entity["mentions"][:]
-        for i in range(len(snapshot)):
-            mi = snapshot[i]
-            for j in range(i + 1, len(snapshot)):
-                mj = snapshot[j]
-                if _overlaps(mi, mj):
-                    di = _label_distance(entity["label"], mi["text"] or "")
-                    dj = _label_distance(entity["label"], mj["text"] or "")
-                    loser = mi if di > dj else mj
-                    entity["mentions"] = [
-                        m for m in entity["mentions"] if m is not loser
-                    ]
+        items = [
+            (m["start_idx"], m["end_idx"], i, i)
+            for i, m in enumerate(snapshot)
+            if m["start_idx"] is not None and m["end_idx"] is not None
+        ]
+        overlap_idx = sorted(
+            (min(i, j), max(i, j)) for i, j in _overlapping_pairs(items)
+        )
+        for i, j in overlap_idx:
+            mi, mj = snapshot[i], snapshot[j]
+            di = _label_distance(entity["label"], mi["text"] or "")
+            dj = _label_distance(entity["label"], mj["text"] or "")
+            loser = mi if di > dj else mj
+            entity["mentions"] = [
+                m for m in entity["mentions"] if m is not loser
+            ]
 
     # ---- P24: cross-entity fixpoint loop ----------------------------------
     live = [e for e in entities if e["mentions"]]
@@ -171,7 +206,9 @@ def apply_conflict_resolution(
         .distinct()
     )
     participating = entities.join(used_urls, on=["conv_id", "url"], how="left_semi")
-    resolved = resolve_conflicts(participating)
+    # three consumers (two semi joins + entities_out): persist, or the
+    # per-conv Python grouped map runs three times
+    resolved = resolve_conflicts(participating).persist()
 
     surviving_urls = resolved.select("conv_id", "url")
     triples_out = (

@@ -1,0 +1,206 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's per-document ``set()`` dedups (P6/P10/P22), a
+100 TB corpus engine needs corpus-level dedup. All variants below are
+shuffle-bounded compositions of built-in ops (no UDFs in the hot path):
+
+- exact:       one hash-agg on md5(text)
+- n-gram Jaccard: shingle-explode → equi-join on shingle (candidate pairs
+  share ≥1 shingle) → one agg; an optional blocking key caps the pair space
+- MinHash+LSH: per-band min-hash signatures → bucket join (pairs collide in
+  ≥1 band) → verify with exact Jaccard on the candidates only
+- SimHash:     per-word 16-bit hashes → bit-majority fingerprint, one agg
+
+Hashes are md5-derived so results are engine-portable (the DuckDB oracle
+computes the identical values). At scale: the shingle join is the standard
+skew hazard — stopword-like shingles fan out; ``max_shingle_freq`` drops
+super-frequent shingles (they carry no dedup signal), the same trick
+MinHashLSH uses implicitly via banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: keeper = min id, n_dupes count."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Sliding n-gram word shingles as array<string> (distinct)."""
+    words = F.split(normalize_text(text), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) with n-gram Jaccard ≥ threshold.
+
+    Pairs sharing zero shingles have Jaccard 0 and are never materialized —
+    the shingle equi-join *is* the candidate generation. ``max_shingle_freq``
+    drops shingles appearing in more than that many docs (skew guard).
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, "shingle")
+
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, sig): per-band min of md5(shingle + band salt).
+
+    One hash family per band (bands of width 1 — the engine-portable
+    variant; widen by concatenating r salted mins per band for tighter
+    similarity thresholds).
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    banded = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "shingle",
+    )
+    return (
+        banded
+        .withColumn("h", F.md5(F.concat_ws("#", "shingle", "band")))
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs colliding in ≥1 band bucket."""
+    sigs = minhash_signatures(df, id_col, text_col, n, n_bands)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(doc_id, simhash): bit-majority fingerprint over 16-bit word hashes
+    (md5 leading nibbles → int, engine-portable). Near-dups differ in few
+    bits; pair generation pivots on fingerprint bands like MinHash."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    hashed = words.withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
+    )
+    # shiftleft/shiftright take literal ints only — pow-based bit math
+    bit = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
+             % 2) == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    return (
+        bit.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("tally"))
+        .withColumn(
+            "bit_val",
+            F.when(F.col("tally") > 0,
+                   F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("simhash"))
+    )

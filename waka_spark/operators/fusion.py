@@ -132,7 +132,10 @@ def fuse_triples(
     fusion-only evaluation mode (evaluate_kg_creation.py:17): no cap, no
     boost (the cap is applied only when scorers run, kg_construction.py:79-85).
     """
-    index = mention_entity_index(entities)
+    # the index feeds three plan branches (exact join, anti-join misses,
+    # containment fallback) and `resolved` feeds two (subj/obj sides) —
+    # persist both or each branch recomputes the mention explode + agg
+    index = mention_entity_index(entities).persist()
 
     triples = linked_triples.withColumn(
         "ts_id",
@@ -144,7 +147,7 @@ def fuse_triples(
         .unionByName(triples.select("conv_id", F.col("obj_text").alias("q_text")))
         .distinct()
     )
-    resolved = resolve_endpoints(endpoints, index)
+    resolved = resolve_endpoints(endpoints, index).persist()
 
     subj_c = resolved.select(
         F.col("conv_id").alias("s_conv"), F.col("q_text").alias("s_text"),

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side machinery here is real and tested — schemas, batch shapes,
+partition behavior, UDF signatures. The *decode* step is a clearly marked
+stub: the image/audio libraries are not in this container, so
+``decode_image_features`` computes a deterministic fake (a byte histogram)
+when ``backend="fake"`` and raises ``NotImplementedError`` for the real
+backends (Pillow / torchaudio / pyav), which drop into the same UDF body.
+
+Layout convention (one row per asset):
+
+    assets(asset_id long, modality string, payload binary,
+           meta struct<mime:string, n_bytes:long, width:int?, height:int?>)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, modality string, payload binary, "
+    "meta struct<mime:string, n_bytes:long>"
+)
+
+FEATURE_COLS = (
+    "asset_id long, n_bytes long, feature array<double>"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    modality: str = "image", mime: str = "image/fake",
+) -> DataFrame:
+    """Testing adapter: treat utf-8 text bytes as an opaque payload so the
+    binary-column plumbing runs against any text corpus."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(modality).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(
+    assets: DataFrame, backend: str = "fake", n_bins: int = 16
+) -> DataFrame:
+    """payload → fixed-width feature vector, one Arrow batch at a time.
+
+    ``backend="fake"``: deterministic byte histogram (n_bins buckets,
+    L1-normalized) — exercises the exact batch shape the real decoder uses.
+    ``backend="pillow"``: real image decode + downsample; requires PIL,
+    raises NotImplementedError here.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if backend != "fake":
+            raise NotImplementedError(
+                f"decode backend {backend!r} needs image/audio libraries not "
+                "present in this environment; the 'fake' backend exercises "
+                "the identical Spark plumbing"
+            )
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                hist, _ = np.histogram(buf, bins=n_bins, range=(0, 256))
+                total = hist.sum() or 1
+                rows.append({
+                    "asset_id": asset_id,
+                    "n_bytes": int(buf.size),
+                    "feature": (hist / total).tolist(),
+                })
+            yield pd.DataFrame(rows, columns=["asset_id", "n_bytes", "feature"])
+
+    return assets.select("asset_id", "payload").mapInPandas(decode, FEATURE_COLS)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing (video analog): slice the payload into
+    fixed-stride 'frames', exploding to one row per frame — pure column
+    ops, demonstrating the fan-out shape real frame extraction has."""
+    return assets.select(
+        "asset_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.floor(
+                            (F.col("meta.n_bytes") - 1) / F.lit(every_n_bytes)
+                        ).cast("int"),
+                        F.lit(max_frames - 1),
+                    ),
+                ),
+                lambda i: F.substring(
+                    F.col("payload"), i * every_n_bytes + 1, every_n_bytes
+                ),
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    ).withColumn("frame_len", F.octet_length("frame_bytes"))

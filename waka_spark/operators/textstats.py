@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure-column expressions (whole-stage codegen, no UDFs); each has a
+DuckDB-oracle-expressible form so the driver's correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact English stopword core — enough signal for n-gram-heuristic
+# language ID over web text
+EN_STOPWORDS = (
+    "the of and to a in is it you that he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if"
+).split()
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subtoken count (letter runs, digit
+    runs, and single punctuation marks — the pre-tokenizer split every BPE
+    vocabulary starts from)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(text)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("bpe_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1] (a Gopher-rules-style filter surface)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    stop_ratio = F.size(
+        F.filter(words, lambda w: w.isin(EN_STOPWORDS))
+    ) / F.greatest(n_words, F.lit(1))
+    punct_ratio = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)
+    ) / F.greatest(F.length(text), F.lit(1))
+    mean_word_len = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1))
+    )
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    en_threshold: float = 0.05,
+) -> DataFrame:
+    """Stopword-ratio heuristic language ID (the n-gram-frequency family):
+    predict 'en' when the English stopword mass clears the threshold."""
+    words = _words(F.col(text_col))
+    ratio = F.size(
+        F.filter(words, lambda w: w.isin(EN_STOPWORDS))
+    ) / F.greatest(F.size(words), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        F.when(ratio >= en_threshold, F.lit("en"))
+        .otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over rolling
+    n-gram word shingles (one representative hash per document; equal
+    fingerprints ⇒ near-certain shared window)."""
+    from waka_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
