@@ -1,0 +1,126 @@
+"""Corpus readers (S2/S3), streaming ingestion, and sinks."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def redfm_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("corpora") / "redfm.jsonl"
+    lines = [
+        {
+            "docid": "d1",
+            "title": "T1",
+            "text": "Weimar is in Germany.",
+            "entities": [
+                {"surfaceform": "Weimar", "boundaries": [0, 6], "uri": "Q3955"},
+                {"surfaceform": "Germany", "boundaries": [13, 20], "uri": "Q183"},
+            ],
+            "relations": [
+                {
+                    "subject": {"surfaceform": "Weimar", "boundaries": [0, 6],
+                                "uri": "Q3955"},
+                    "predicate": {"uri": "P17", "surfaceform": "country"},
+                    "object": {"surfaceform": "Germany", "boundaries": [13, 20],
+                               "uri": "Q183"},
+                },
+            ],
+        },
+    ]
+    path.write_text("\n".join(json.dumps(l) for l in lines))
+    return str(path)
+
+
+def test_redfm_reader(spark, redfm_file):
+    from waka_spark.sources.corpora import gold_mentions, gold_triples, read_redfm
+
+    corpus = read_redfm(spark, redfm_file)
+    mentions = gold_mentions(corpus).collect()
+    assert {(m.start_idx, m.end_idx, m.url) for m in mentions} == {
+        (0, 6, "Q3955"), (13, 20, "Q183")
+    }
+    triples = gold_triples(corpus).collect()
+    assert [(t.subj_url, t.pred_url, t.obj_url) for t in triples] == [
+        ("Q3955", "P17", "Q183")
+    ]
+
+
+def test_streaming_incremental_mentions(spark, tmp_path):
+    """NER over a file stream: identical operator, streaming source."""
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import incremental_mentions, stream_transcripts
+
+    in_dir = tmp_path / "turns"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    ts = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("c1", 0, "user", "Weimar is in Germany", None, ts),
+         ("c1", 1, "assistant", "Germany borders France", None, ts)],
+        schemas.TRANSCRIPTS,
+    ).write.parquet(str(in_dir))
+
+    turns = stream_transcripts(spark, str(in_dir))
+    assert turns.isStreaming
+    mentions = incremental_mentions(
+        turns, [("Weimar", "GPE"), ("Germany", "GPE"), ("France", "GPE")])
+    q = (
+        mentions.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir))
+    texts = sorted(r.text for r in got.collect())
+    assert texts == ["France", "Germany", "Germany", "Weimar"]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import stream_transcripts, streaming_turn_counts
+
+    in_dir = tmp_path / "turns2"
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("c1", i, "user", f"t{i}", None,
+             ts0 + dt.timedelta(minutes=3 * i)) for i in range(5)]
+    from waka_spark.session import get_spark  # noqa: F401
+
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).write.parquet(str(in_dir))
+    counts = streaming_turn_counts(
+        stream_transcripts(spark, str(in_dir)), window="10 minutes")
+    q = (
+        counts.writeStream.format("memory").queryName("turn_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.window_start.minute, r.n_turns)
+           for r in spark.sql("SELECT * FROM turn_counts").collect()}
+    # turns at minutes 0,3,6,9,12 → windows [10:00,10:10)=4, [10:10,10:20)=1
+    assert got == {(0, 4), (10, 1)}
+
+
+def test_stream_to_graph_bridge(spark, tmp_path):
+    """foreachBatch bridge: micro-batch → full batch pipeline → edges."""
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.sources import fixtures as fx
+    from waka_spark.streaming.ingest import run_stream_to_graph
+
+    in_dir = tmp_path / "turns3"
+    fx.bauhaus_transcripts(spark).write.parquet(str(in_dir))
+    pipe = bauhaus_pipeline(spark, use_scorers=False)
+    q = run_stream_to_graph(
+        spark, str(in_dir), pipe,
+        output_path=str(tmp_path / "graph"),
+        checkpoint_path=str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(300)
+    edges = spark.read.parquet(str(tmp_path / "graph" / "edges"))
+    assert edges.count() == 10  # the bauhaus gold triples

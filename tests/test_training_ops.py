@@ -1,0 +1,155 @@
+"""Dedup family, text stats, ANN, multimodal plumbing — unit level."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    from waka_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, ["a b c", "a  B C", "x y z"])  # ws+case normalize
+    got = {r.keeper_id: r.n_docs for r in exact_dedup(docs).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard(spark):
+    from waka_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " yes"
+    far = "completely different words everywhere nothing shared here at all"
+    got = ngram_jaccard_pairs(
+        _docs(spark, [base, near, far]), threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    assert got[0].jaccard > 0.8
+
+
+def test_minhash_lsh_catches_neardups(spark):
+    from waka_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    got = minhash_lsh_pairs(
+        _docs(spark, [base, base + " mu", "unrelated totally other words x y z"]),
+        n_bands=8,
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.n_bands_hit for r in got}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 4
+    assert (0, 2) not in pairs
+
+
+def test_simhash_neardup_close(spark):
+    from waka_spark.operators.dedup import simhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fp = {r.doc_id: r.simhash for r in simhash(
+        _docs(spark, [base, base + " mu", "qq ww ee rr tt yy uu ii oo pp"])
+    ).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[0], fp[1]) <= 4
+    assert ham(fp[0], fp[2]) > ham(fp[0], fp[1])
+
+
+def test_token_counts_and_quality(spark):
+    from waka_spark.operators.textstats import quality_scores, token_counts
+
+    docs = _docs(spark, ["The quick fox, it jumps!", "x"])
+    tc = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert tc[0].ws_tokens == 5
+    assert tc[0].bpe_tokens == 7  # 5 words + ',' + '!'
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert q[0].n_words == 5
+    assert 0 < q[0].quality_score <= 1
+    assert q[0].stop_ratio == 0.4  # 'the', 'it'
+
+
+def test_lang_id(spark):
+    from waka_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, ["the cat is on the mat and it is happy",
+                         "zzz qqq www rrr ttt"])
+    got = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert got == {0: "en", 1: "unk"}
+
+
+def test_cosine_topk_exact(spark):
+    from waka_spark.operators.ann import cosine_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # antipodal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = cosine_topk(emb, q, k=2).collect()
+    assert [r.vec_id for r in got] == [1, 2]
+    assert got[0].rank == 1 and got[0].cos > 0.99
+
+
+def test_lsh_ann_same_bucket_for_neardups(spark):
+    from waka_spark.operators.ann import hyperplanes, lsh_bucket
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.99] * 8), (2, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = hyperplanes(spark, dim=8, n_planes=4)
+    comps = F.array(*[
+        F.lit(r["components"]).cast("array<double>")
+        for r in planes.orderBy("plane").collect()
+    ])
+    got = {r.vec_id: r.b for r in emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), comps).alias("b")).collect()}
+    assert got[0] == got[1]      # parallel vectors share every sign
+    assert got[0] != got[2]      # antipodal flips every sign
+
+
+def test_multimodal_plumbing(spark):
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_features,
+        sample_frames,
+    )
+
+    docs = _docs(spark, ["abcd" * 40, "xy"])
+    assets = attach_binary_payload(docs)
+    meta = {r.asset_id: r.meta.n_bytes for r in assets.collect()}
+    assert meta == {0: 160, 1: 2}
+
+    feats = {r.asset_id: r for r in decode_image_features(assets).collect()}
+    assert feats[0].n_bytes == 160
+    assert len(feats[0].feature) == 16
+    assert abs(sum(feats[0].feature) - 1.0) < 1e-9
+
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    by_asset = {}
+    for r in frames.collect():
+        by_asset.setdefault(r.asset_id, []).append(r.frame_len)
+    assert by_asset[0] == [64, 64, 32]
+    assert by_asset[1] == [2]
+
+
+def test_transformer_backends_gated(spark):
+    """Without torch/transformers the production backends raise a clear
+    NotImplementedError (the gate, not a crash)."""
+    import pytest
+
+    from waka_spark.operators.transformer_backends import (
+        hf_token_classification_ner,
+    )
+
+    docs = _docs(spark, ["hello world"]).withColumnRenamed("doc_id", "conv_id")
+    df = hf_token_classification_ner(docs.select(
+        F.col("conv_id").cast("string"), "text"))
+    with pytest.raises(Exception) as exc_info:
+        df.collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)
