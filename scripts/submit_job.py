@@ -53,16 +53,11 @@ def main() -> None:
             return spark.read.table(name_or_path)
         return spark.read.parquet(name_or_path)
 
-    transcripts = read(args.transcripts)
+    from waka_spark.operators.assembly import salted_repartition
+
     # salted repartition by conv_id absorbs Zipf-skewed conversations before
     # the assembly shuffle (SURVEY.md §4); AQE skew-join handles the rest
-    transcripts = transcripts.repartition(
-        F.concat_ws(
-            "_",
-            F.col("conv_id"),
-            F.pmod(F.xxhash64("turn_idx"), F.lit(args.salt_buckets)),
-        )
-    )
+    transcripts = salted_repartition(read(args.transcripts), args.salt_buckets)
 
     aliases = read(f"{args.dictionaries}/wd_aliases")
     properties = read(f"{args.dictionaries}/wd_properties")

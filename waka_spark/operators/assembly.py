@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_repartition(
+    transcripts: DataFrame, buckets: int = 16, partitions: int | None = None
+) -> DataFrame:
+    """Skew-absorbing ingest repartition (SURVEY.md §4): distribute each
+    conversation's turns over ``buckets`` salted keys so one 10^6-turn
+    conversation spreads across executors instead of pinning one. The
+    assembly ``groupBy(conv_id)`` re-shuffles anyway — the salt protects
+    every narrow stage in between (NER, linking run per-partition)."""
+    salt = F.concat_ws(
+        "_", F.col("conv_id"), F.pmod(F.xxhash64("turn_idx"), F.lit(buckets))
+    )
+    if partitions:
+        return transcripts.repartition(partitions, salt)
+    return transcripts.repartition(salt)
+
+
 def assemble_documents(transcripts: DataFrame, sep: str = " ") -> DataFrame:
     """turns → documents(conv_id, text, n_turns).
 
