@@ -191,11 +191,44 @@ def resolve_conflicts(entities_with_mentions: DataFrame) -> DataFrame:
     )
 
 
+def conflicted_conversations(participating: DataFrame) -> DataFrame:
+    """conv_ids containing at least one overlapping mention pair, found with
+    a single window pass: in per-conv start-order, an overlap exists iff
+    some mention's start_idx <= the running max end_idx of its predecessors
+    (inclusive overlap, kg.py:90-91). One shuffle, no pair materialization."""
+    from pyspark.sql import Window
+
+    spans = participating.select(
+        "conv_id", F.explode("mentions").alias("m")
+    ).select(
+        "conv_id",
+        F.col("m")["start_idx"].alias("start_idx"),
+        F.col("m")["end_idx"].alias("end_idx"),
+    ).filter(F.col("start_idx").isNotNull() & F.col("end_idx").isNotNull())
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("start_idx", "end_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        spans.withColumn("_prev_max_end", F.max("end_idx").over(w))
+        .filter(F.col("start_idx") <= F.col("_prev_max_end"))
+        .select("conv_id")
+        .distinct()
+    )
+
+
 def apply_conflict_resolution(
     fused_triples: DataFrame, entities: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Run conflict resolution over the entities referenced by the fused
     triples; return (surviving triples, surviving entities-with-mentions).
+
+    Scale design: the exact per-conv Python algorithm only runs for
+    conversations that actually contain an overlapping mention pair
+    (window-detected); conflict-free conversations — the overwhelming
+    majority at corpus scale — pass through untouched (the algorithm is the
+    identity on them, so the output is bit-identical).
 
     Triples survive iff both endpoints kept at least one mention
     (kg_construction.py:151-155) — realized as two semi joins.
@@ -205,12 +238,37 @@ def apply_conflict_resolution(
         .unionByName(fused_triples.select("conv_id", F.col("obj_url").alias("url")))
         .distinct()
     )
-    participating = entities.join(used_urls, on=["conv_id", "url"], how="left_semi")
-    # three consumers (two semi joins + entities_out): persist, or the
-    # per-conv Python grouped map runs three times
-    resolved = resolve_conflicts(participating).persist()
+    participating = entities.join(
+        used_urls, on=["conv_id", "url"], how="left_semi"
+    ).persist()
 
-    surviving_urls = resolved.select("conv_id", "url")
+    conflicted = conflicted_conversations(participating)
+    clean = participating.join(conflicted, "conv_id", "left_anti")
+    dirty = participating.join(conflicted, "conv_id", "left_semi")
+
+    # multiple consumers (semi joins + entities_out): persist, or the
+    # per-conv Python grouped map runs repeatedly
+    resolved_dirty = resolve_conflicts(dirty).persist()
+
+    mention_schema = (
+        "array<struct<start_idx:int,end_idx:int,text:string,e_type:string,"
+        "label:string,description:string,score:double>>"
+    )
+    dirty_entities = (
+        resolved_dirty
+        .join(
+            entities.select("conv_id", "url", "description", "score", "e_type"),
+            on=["conv_id", "url"], how="left",
+        )
+        .withColumn("mentions", F.from_json("mentions_json", mention_schema))
+        .drop("mentions_json")
+    )
+    entities_out = clean.unionByName(dirty_entities)
+
+    surviving_urls = (
+        clean.select("conv_id", "url")
+        .unionByName(resolved_dirty.select("conv_id", "url"))
+    )
     triples_out = (
         fused_triples
         .join(
@@ -221,19 +279,5 @@ def apply_conflict_resolution(
             surviving_urls.withColumnRenamed("url", "obj_url"),
             on=["conv_id", "obj_url"], how="left_semi",
         )
-    )
-
-    mention_schema = (
-        "array<struct<start_idx:int,end_idx:int,text:string,e_type:string,"
-        "label:string,description:string,score:double>>"
-    )
-    entities_out = (
-        resolved
-        .join(
-            entities.select("conv_id", "url", "description", "score", "e_type"),
-            on=["conv_id", "url"], how="left",
-        )
-        .withColumn("mentions", F.from_json("mentions_json", mention_schema))
-        .drop("mentions_json")
     )
     return triples_out, entities_out

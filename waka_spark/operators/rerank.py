@@ -111,32 +111,28 @@ def rerank_candidates(
         how="left",
     ).drop(sentences["conv_id"])
 
-    # score each distinct (sentence, label, description) once, join back
+    # score each distinct (sentence, label, description) once, join back on
+    # an 8-byte hash key — shuffling 15M-row frames on long sentence strings
+    # costs more than the model call at corpus scale. Sentences from the
+    # splitter are disjoint, so each span matches at most one sentence and
+    # no post-join dedup is needed.
+    pair_key = F.xxhash64("sent_text", "label", "description")
     distinct_pairs = (
         aligned
-        .select("sent_text", "label", "description")
         .filter(F.col("sent_text").isNotNull())
+        .select("sent_text", "label", "description")
         .distinct()
-        .withColumn("sim", _sim_udf("sent_text", "label", "description"))
+        .select(
+            pair_key.alias("_pair_key"),
+            _sim_udf("sent_text", "label", "description").alias("sim"),
+        )
     )
     rescored = (
         aligned
-        .join(
-            distinct_pairs,
-            on=["sent_text", "label", "description"],
-            how="left",
-        )
+        .withColumn("_pair_key", pair_key)
+        .drop("sent_text", "sent_idx", "sent_start", "sent_end")
+        .join(distinct_pairs, on="_pair_key", how="left")
         .withColumn("score", F.col("score") * F.coalesce("sim", F.lit(1.0)))
-        # a span may sit in multiple sentences only if the splitter ever
-        # overlapped (it doesn't); keep min-sent_idx deterministically anyway
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("conv_id", "start_idx", "end_idx", "url")
-                .orderBy(F.col("sent_idx").asc_nulls_last())
-            ),
-        )
-        .filter(F.col("_rn") == 1)
         .select(*candidates.columns)
     )
 

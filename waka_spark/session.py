@@ -28,6 +28,15 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
 
+    # local-mode shuffle + localCheckpoint blocks go through spark.local.dir;
+    # on this sandbox the root disk (~200 MB/s) throttles 32 concurrent
+    # writers, so prefer tmpfs. On a real cluster executors use their own
+    # SSD-backed dirs and this env is simply unset-or-overridden.
+    local_dir = os.environ.get(
+        "WAKA_LOCAL_DIR",
+        "/dev/shm/waka-spark" if os.path.isdir("/dev/shm") else "",
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,6 +51,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
