@@ -110,7 +110,10 @@ def q_kg_e2e_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping surfaces (conflict-resolution is the identity here, so
     the result is exactly the doc-level rule closure — SQL-derivable)."""
     pipe = _kg_pipeline(spark)
-    out = pipe.run(_transcripts_view(_t(spark, sf_dir, "documents")), resolve=True)
+    out = pipe.run(
+        _transcripts_view(_t(spark, sf_dir, "documents")),
+        resolve=True, cut_lineage="smart",
+    )
     return out["triples"].select("conv_id", "subj_url", "pred_url", "obj_url")
 
 

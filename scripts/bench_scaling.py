@@ -67,7 +67,7 @@ def worker(cpus: int, input_dir: str) -> None:
     n_turns = transcripts.count()  # warm parquet footers; not timed
 
     t0 = time.time()
-    out = pipe.run(transcripts, resolve=True)
+    out = pipe.run(transcripts, resolve=True, cut_lineage="smart")
     n_triples = out["triples"].count()
     n_entities = out["final_entities"].count()
     elapsed = time.time() - t0

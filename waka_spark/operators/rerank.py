@@ -100,16 +100,40 @@ def rerank_candidates(
 
     # sentence containing the candidate span (range-containment join);
     # candidates spanning sentence boundaries keep their score, matching the
-    # reference's skip behavior (semantics.py:205-206)
-    aligned = scorable.join(
-        sentences,
+    # reference's skip behavior (semantics.py:205-206).
+    #
+    # Scale: a plain equi-join on conv_id alone degenerates to
+    # |mentions_c| x |sentences_c| pairs per conversation — quadratic in
+    # document length, catastrophic on Zipf-hot conversations. Standard
+    # interval-binning fix: join on (conv_id, chunk) where chunk =
+    # floor(offset / CHUNK); each sentence replicates to the chunks it
+    # overlaps (sentences are short, so the fan-out is ~1), and each
+    # candidate probes only the chunk containing its start offset. A
+    # containing sentence necessarily overlaps that chunk, so the match set
+    # is identical; sentences are disjoint so each span still matches <= 1.
+    CHUNK = 512
+    sent_binned = sentences.withColumn(
+        "_s_chunk",
+        F.explode(
+            F.sequence(
+                (F.col("sent_start") / CHUNK).cast("long"),
+                (F.col("sent_end") / CHUNK).cast("long"),
+            )
+        ),
+    )
+    binned = scorable.withColumn(
+        "_chunk", (F.col("start_idx") / CHUNK).cast("long")
+    )
+    aligned = binned.join(
+        sent_binned,
         on=[
-            scorable["conv_id"] == sentences["conv_id"],
-            scorable["start_idx"] >= sentences["sent_start"],
-            scorable["end_idx"] <= sentences["sent_end"],
+            binned["conv_id"] == sent_binned["conv_id"],
+            binned["_chunk"] == sent_binned["_s_chunk"],
+            binned["start_idx"] >= sent_binned["sent_start"],
+            binned["end_idx"] <= sent_binned["sent_end"],
         ],
         how="left",
-    ).drop(sentences["conv_id"])
+    ).drop(sent_binned["conv_id"]).drop("_s_chunk", "_chunk")
 
     # score each distinct (sentence, label, description) once, join back on
     # an 8-byte hash key — shuffling 15M-row frames on long sentence strings

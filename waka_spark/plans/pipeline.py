@@ -101,33 +101,72 @@ class KGPipeline:
 
     def run(
         self, transcripts: DataFrame, resolve: bool = True,
-        cut_lineage: bool = True,
+        cut_lineage: bool | str = True,
     ) -> dict[str, DataFrame]:
         """transcripts → {documents, mentions, candidates, entities,
         raw_triples, triples, final_entities, entity_mentions}.
 
-        ``cut_lineage`` eagerly ``localCheckpoint``s each stage boundary.
-        This matters twice over: (a) multi-consumer stages (documents ×3,
-        entities ×2, fused ×3) would otherwise recompute their upstream DAG
-        per consumer, and (b) Catalyst re-analyzes the *entire* logical plan
-        at every action — with ten chained stages the planning time alone
-        dwarfs execution, so truncating lineage per stage keeps plans
-        shallow (measured 4x end-to-end on sf0.1). The production
-        checkpointed runner (plans/checkpoint.py) gets the same cut via its
-        per-stage parquet materialization, which additionally survives
-        executor loss — use that on a real cluster.
+        ``cut_lineage`` controls stage-boundary materialization:
+
+        - ``"checkpoint"`` / ``True`` — eager ``localCheckpoint`` per stage.
+          Shallow plans (Catalyst re-analyzes the whole logical plan at every
+          action; with ten chained stages planning alone is material) and no
+          recompute for multi-consumer stages — but every boundary is a hard
+          scheduling barrier, so stage latencies *add* and short stages
+          can't overlap. Best for interactive/debug runs.
+        - ``"persist"`` — lazy ``persist()`` per stage, one terminal action.
+          Multi-consumer stages still compute once (first consumer fills the
+          cache) but Spark schedules the whole DAG at once: the EL branch
+          and the RE branch run concurrently and barriers disappear. Best
+          for throughput runs — this is what the bench/submit paths use.
+        - ``"smart"`` — eager ``localCheckpoint`` only at *multi-consumer*
+          boundaries (documents ×3, entities ×2, fused ×2+); single-consumer
+          stages (mentions, candidates, linked) stay fused into their
+          consumer's job. Roughly halves the number of actions/barriers —
+          the throughput mode used by bench/submit paths. (A pure
+          ``persist()`` mode was measured and rejected: lazy caches fill
+          only after the first materialization finishes, so concurrent plan
+          branches race and recompute whole stages.)
+        - ``"none"`` / ``False`` — raw lineage (recompute per consumer).
+
+        The production checkpointed runner (plans/checkpoint.py) gets the
+        same cut via per-stage parquet materialization, which additionally
+        survives executor loss — use that on a real cluster.
         """
-        cut = (lambda df: df.localCheckpoint(eager=True)) if cut_lineage \
-            else (lambda df: df)
-        docs = cut(self.documents(transcripts))
+        if cut_lineage is True:
+            mode = "checkpoint"
+        elif cut_lineage is False:
+            mode = "none"
+        else:
+            mode = cut_lineage
+        ident = lambda df: df  # noqa: E731
+        lc = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        if mode == "checkpoint":
+            cut = cut_shared = lc
+        elif mode == "smart":
+            cut, cut_shared = ident, lc
+        else:
+            cut = cut_shared = ident
+        # Fan-out point: every per-document UDF stage (NER, sentence split,
+        # extraction) is a narrow map over `docs`, so its partition count
+        # caps their parallelism. AQE coalesces the small assembly shuffle
+        # to a handful of ~64MB partitions — fine for scans, terrible for
+        # CPU-heavy Python stages. Pin to 2x cores (explicit repartition is
+        # exempt from AQE coalescing); hash on conv_id keeps per-conv rows
+        # (one row each) spread and deterministic.
+        sc = transcripts.sparkSession.sparkContext
+        n_doc_parts = max(2 * sc.defaultParallelism, 8)
+        docs = cut_shared(
+            self.documents(transcripts).repartition(n_doc_parts, "conv_id")
+        )
         mentions = cut(self.mentions(docs))
         cands = cut(self.candidates(docs, mentions))
-        ents = cut(self.entities(cands))
+        ents = cut_shared(self.entities(cands))
 
         raw = self.raw_triples(docs)
         linked = cut(self.linked_triples(raw))
 
-        fused = cut(self.fused(linked, ents))
+        fused = cut_shared(self.fused(linked, ents))
 
         if resolve:
             triples, final_entities = apply_conflict_resolution(fused, ents)
