@@ -276,6 +276,82 @@ def q_kg_known_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_conflict_p23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P23 — intra-entity overlap pruning through the exact-semantics
+    ``resolve_conflicts`` grouped map (operators/conflicts.py,
+    kg_construction.py:119-140 analog). Spans are banded per entity so the
+    P24 cross-entity loop is the identity, which makes the survivor set a
+    pure function of the snapshot pair list — SQL-derivable: a mention
+    survives iff it is not the Levenshtein loser of any overlapping pair."""
+    from waka_spark.operators.conflicts import resolve_conflicts
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    band = (F.col("l_partkey") % 10).cast("int")
+    base = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("conv_id"),
+            F.concat(F.lit("e"), band.cast("string")).alias("url"),
+            F.concat(F.lit("item"), (band % 3).cast("string")).alias("label"),
+            (band * 10000 + F.col("l_quantity").cast("int") * 10)
+            .cast("int").alias("start_idx"),
+            (band * 10000 + F.col("l_quantity").cast("int") * 10
+             + 3 + (F.col("l_linenumber") % 5)).cast("int").alias("end_idx"),
+            F.concat(F.lit("item"), (F.col("l_suppkey") % 7).cast("string"))
+            .alias("text"),
+        )
+        .distinct()
+    )
+    entities = base.groupBy("conv_id", "url", "label").agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                "start_idx", "end_idx", "text",
+                F.lit("TERM").alias("e_type"),
+                F.col("label").alias("label"),
+                F.lit(None).cast("string").alias("description"),
+                F.lit(0.5).alias("score"),
+            ))
+        ).alias("mentions")
+    )
+    resolved = resolve_conflicts(entities)
+    mention_schema = (
+        "array<struct<start_idx:int,end_idx:int,text:string,e_type:string,"
+        "label:string,description:string,score:double>>"
+    )
+    return (
+        resolved
+        .withColumn("m", F.explode(F.from_json("mentions_json", mention_schema)))
+        .select(
+            "conv_id", "url",
+            F.col("m")["start_idx"].alias("start_idx"),
+            F.col("m")["end_idx"].alias("end_idx"),
+            F.col("m")["text"].alias("text"),
+        )
+    )
+
+
+def q_kg_unionfind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule canonicalization: distributed connected components
+    (plans/unionfind.py, iterative min-label propagation) over the
+    customer→nation→region membership graph; oracle = DuckDB recursive
+    CTE transitive closure."""
+    from waka_spark.plans.unionfind import connected_components
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = c.unionByName(s).unionByName(n)
+    return connected_components(edges).select("node", "component")
+
+
 def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P26 — set P/R/F1 via the eval-join operator (operators/evals.py)."""
     from waka_spark.operators.evals import eval_triples
@@ -503,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fusion_pairing": q_kg_fusion_pairing,
         "kg_containment_fallback": q_kg_containment_fallback,
         "kg_known_boost": q_kg_known_boost,
+        "kg_conflict_p23": q_kg_conflict_p23,
+        "kg_unionfind": q_kg_unionfind,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_rdf_sink": q_kg_rdf_sink,
         "dedup_exact": q_dedup_exact,
@@ -673,6 +751,62 @@ def oracle_sql() -> dict[str, str]:
                               ELSE l_extendedprice END) AS DOUBLE), 2) AS sum_boosted
             FROM lineitem LEFT JOIN big b ON l_orderkey = b.o_orderkey
             GROUP BY l_returnflag
+        """,
+        "kg_conflict_p23": """
+            WITH base AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) conv_id,
+                     'e' || CAST(l_partkey % 10 AS VARCHAR) url,
+                     'item' || CAST((l_partkey % 10) % 3 AS VARCHAR) lbl,
+                     CAST((l_partkey % 10) * 10000 + CAST(l_quantity AS INT) * 10 AS INT) s,
+                     CAST((l_partkey % 10) * 10000 + CAST(l_quantity AS INT) * 10
+                          + 3 + (l_linenumber % 5) AS INT) e,
+                     'item' || CAST(l_suppkey % 7 AS VARCHAR) txt
+              FROM lineitem WHERE l_orderkey % 5 = 0
+            ),
+            ordered AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, url
+                          ORDER BY s, e, txt) AS idx
+              FROM base
+            ),
+            pairs AS (
+              SELECT a.conv_id, a.url, a.idx ai, b.idx bi,
+                     levenshtein(a.lbl, a.txt) da,
+                     levenshtein(b.lbl, b.txt) db
+              FROM ordered a JOIN ordered b
+                ON a.conv_id = b.conv_id AND a.url = b.url AND a.idx < b.idx
+               AND a.e >= b.s AND b.e >= a.s
+            ),
+            losers AS (
+              SELECT DISTINCT conv_id, url,
+                     CASE WHEN da > db THEN ai ELSE bi END AS idx
+              FROM pairs
+            )
+            SELECT o.conv_id, o.url, o.s AS start_idx, o.e AS end_idx, o.txt AS "text"
+            FROM ordered o LEFT JOIN losers l
+              ON o.conv_id = l.conv_id AND o.url = l.url AND o.idx = l.idx
+            WHERE l.idx IS NULL
+        """,
+        "kg_unionfind": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) a,
+                     'n' || CAST(c_nationkey AS VARCHAR) b FROM customer
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                     'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION ALL
+              SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                     'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+            ),
+            sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+            )
+            SELECT node, min(comp) AS component FROM reach GROUP BY node
         """,
         "kg_eval_prf": """
             WITH base AS (
