@@ -548,10 +548,12 @@ def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap + driver merge), NOT a row_number over an unpartitioned window
+    # (which funnels every row through one partition — fatal at scale)
     return (
-        rev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
         .select("o_orderkey", "o_orderdate", "revenue")
     )
 

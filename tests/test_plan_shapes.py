@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the plans we designed for, not just the
+results. Each assertion pins a scale-critical plan property:
+
+- dictionary joins broadcast (no shuffle of the big mention side),
+- global top-k compiles to TakeOrderedAndProject (per-partition heaps),
+  never a single-partition window,
+- filters reach the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema carries only what's used).
+
+These run on sf0.001 — plan shape is data-size independent here because the
+broadcast side is a literal dictionary and the rest are structural.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from waka_spark.session import get_spark
+
+    return get_spark("plan_shapes", master="local[4]", shuffle_partitions=4)
+
+
+def test_linker_dictionary_join_broadcasts(spark):
+    """P8: mentions join alias dict must be a broadcast hash join — the
+    mention side is the corpus-sized one and must not shuffle."""
+    from waka_spark import schemas
+    from waka_spark.operators.linking import link_entities
+    from waka_spark.operators.ner import gazetteer_ner
+
+    docs = entry.q_kg_assembly(spark, SF)
+    mentions = gazetteer_ner(docs, entry.GAZ)
+    aliases = spark.createDataFrame(entry.ALIASES, schemas.WD_ALIASES)
+    plan = plan_of(link_entities(mentions, aliases))
+    assert "BroadcastHashJoin" in plan
+    # the big side must not be exchanged for this join: no sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    """tpch_q3: global top-10 must compile to TakeOrderedAndProject, not a
+    row_number window over an unpartitioned (single-partition) exchange."""
+    plan = plan_of(entry.q_tpch_q3_top10(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """tpch_q1: the shipdate filter must appear in PushedFilters on the
+    parquet scan."""
+    plan = plan_of(entry.q_tpch_q1(spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A projection must prune the parquet ReadSchema: scanning documents
+    for NER reads (conv_id-bearing) doc_id and text only."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id").distinct()
+    plan = plan_of(q)
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema
+
+
+def test_known_triple_boost_broadcasts(spark):
+    """P18: the known-triples reference table join is explicitly broadcast."""
+    plan = plan_of(entry.q_kg_known_boost(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e2e_has_no_cartesian(spark):
+    """The full pipeline plan must not contain an unconstrained cartesian
+    product; substring-containment fallbacks are per-conv broadcast loops."""
+    df = entry.q_kg_e2e_triples(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
