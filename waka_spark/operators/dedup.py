@@ -179,28 +179,20 @@ def simhash(
     hashed = words.withColumn(
         "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
     )
-    # shiftleft/shiftright take literal ints only — pow-based bit math
-    bit = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(
-            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
-             % 2) == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
-    )
-    return (
-        bit.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("tally"))
-        .withColumn(
-            "bit_val",
-            F.when(F.col("tally") > 0,
-                   F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-            .otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit_val").alias("simhash"))
+    # one aggregation with `bits` conditional sums (map-side partials) —
+    # NOT an explode per (word, bit), which would shuffle 16x the rows
+    tallies = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_t{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*tallies)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"_t{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(
+        "doc_id", fingerprint.cast("long").alias("simhash")
     )
