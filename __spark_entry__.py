@@ -500,6 +500,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: exact cosine >= 0.2 within
+    md5-derived LSH sign buckets (operators/ann.embedding_cosine_pairs) —
+    the bucket join replaces the all-pairs cross join at 10^9 vectors."""
+    from waka_spark.operators.ann import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return embedding_cosine_pairs(emb, threshold=0.2, n_planes=6)
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the Structured Streaming windowed-agg
     semantics, run in batch mode over events)."""
@@ -593,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "multimodal_meta": q_multimodal_meta,
@@ -950,6 +962,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE i <= greatest(len(ws) - 4, 1)
             )
             SELECT doc_id, min(h) AS fingerprint FROM s GROUP BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH comp AS (
+              SELECT p.plane, i.i,
+                     CAST(('0x' || substr(md5(p.plane || ':' || i.i), 1, 4)) AS BIGINT)
+                       / 65535.0 - 0.5 AS c
+              FROM (SELECT unnest(generate_series(0, 5)) AS plane) p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+            ),
+            planes AS (
+              SELECT plane, list(c ORDER BY i) AS components FROM comp GROUP BY plane
+            ),
+            emb AS (
+              SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+            ),
+            buckets AS (
+              SELECT e.vec_id, e.v,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, p.components) > 0
+                              THEN (1 << plane) ELSE 0 END) AS INT) bucket
+              FROM emb e, planes p GROUP BY e.vec_id, e.v
+            )
+            SELECT a.vec_id id_a, b.vec_id id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.2
         """,
         "ann_cosine_topk": """
             WITH q AS (
