@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "text_token_counts",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "stream_windowed_counts",
