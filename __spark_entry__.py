@@ -105,6 +105,30 @@ def q_kg_mention_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — sentence-context rerank (operators/rerank.py): chunk-binned
+    sentence alignment + lexical-containment similarity multiply + filter.
+    The testdata documents carry no sentence punctuation, so each document
+    is one sentence and the similarity — 0.3 + 0.7*|tokens(label+descr) ∩
+    tokens(sent)|/|tokens(label+descr)| — is SQL-derivable: candidate
+    tokens are {surface, 'term'}, so sim depends only on whether 'term'
+    occurs in the document."""
+    from waka_spark import schemas
+    from waka_spark.operators.linking import link_entities
+    from waka_spark.operators.ner import gazetteer_ner
+    from waka_spark.operators.rerank import rerank_candidates, split_sentences
+
+    docs = q_kg_assembly(spark, sf_dir)
+    mentions = gazetteer_ner(docs, GAZ)
+    aliases = spark.createDataFrame(ALIASES, schemas.WD_ALIASES)
+    cands = link_entities(mentions, aliases)
+    reranked = rerank_candidates(cands, split_sentences(docs), threshold=0.05)
+    return reranked.groupBy("conv_id", "url").agg(
+        F.count("*").alias("n_mentions"),
+        F.round(F.max("score"), 6).alias("score"),
+    )
+
+
 def q_kg_e2e_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline P1→P24 over the documents-as-transcripts view with
     non-overlapping surfaces (conflict-resolution is the identity here, so
@@ -582,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_assembly": q_kg_assembly,
         "kg_mention_link": q_kg_mention_link,
+        "kg_rerank": q_kg_rerank,
         "kg_e2e_triples": q_kg_e2e_triples,
         "kg_literal_encoding": q_kg_literal_encoding,
         "kg_linking_topk": q_kg_linking_topk,
@@ -664,6 +689,20 @@ def oracle_sql() -> dict[str, str]:
               FROM conv, gaz
             )
             SELECT conv_id, url, n_mentions, score FROM hits WHERE n_mentions > 0
+        """,
+        "kg_rerank": f"""
+            WITH {_ASSEMBLY_CTE},
+            gaz(surface, url, frequency) AS (VALUES {_ALIAS_VALUES}),
+            hits AS (
+              SELECT conv_id, url,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = surface)) AS BIGINT) AS n_mentions,
+                     (2.0 * 10.0 * 1.6 * ln(1 + frequency) / 305.0)
+                     * (0.3 + 0.7 * (CASE WHEN list_contains(string_split(text, ' '), 'term')
+                                          THEN 2 ELSE 1 END) / 2.0) AS score
+              FROM conv, gaz
+            )
+            SELECT conv_id, url, n_mentions, round(score, 6) AS score
+            FROM hits WHERE n_mentions > 0 AND score >= 0.05
         """,
         "kg_e2e_triples": f"""
             WITH {_ASSEMBLY_CTE},
