@@ -400,6 +400,31 @@ def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26 macro variant — per-conversation P/R/F1 averaged across
+    conversations (evaluate_kg_creation.py:21-44 macro accumulation)."""
+    from waka_spark.operators.evals import eval_triples
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_partkey").cast("string").alias("subj_url"),
+        F.lit("p").alias("pred_url"),
+        F.col("l_suppkey").cast("string").alias("obj_url"),
+        "l_quantity", "l_discount",
+    )
+    computed = li.filter(F.col("l_quantity") > 25)
+    gold = li.filter(F.col("l_discount") > 0.05)
+    ev = eval_triples(computed, gold, macro=True)
+    return ev.select(
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+    )
+
+
 def q_kg_rdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — RDF N-Triples projection (kg.py:241-245 analog)."""
     n = _t(spark, sf_dir, "nation")
@@ -620,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conflict_p23": q_kg_conflict_p23,
         "kg_unionfind": q_kg_unionfind,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_eval_macro": q_kg_eval_macro,
         "kg_rdf_sink": q_kg_rdf_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -885,6 +911,38 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * (tp / CAST(n_comp AS DOUBLE)) * (tp / CAST(n_gold AS DOUBLE))
                          / ((tp / CAST(n_comp AS DOUBLE)) + (tp / CAST(n_gold AS DOUBLE))), 6) AS f1
             FROM counts
+        """,
+        "kg_eval_macro": """
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) conv_id,
+                     CAST(l_partkey AS VARCHAR) subj_url,
+                     CAST(l_suppkey AS VARCHAR) obj_url,
+                     l_quantity, l_discount
+              FROM lineitem
+            ),
+            comp AS (SELECT DISTINCT conv_id, subj_url, obj_url FROM base WHERE l_quantity > 25),
+            gold AS (SELECT DISTINCT conv_id, subj_url, obj_url FROM base WHERE l_discount > 0.05),
+            per_doc AS (
+              SELECT coalesce(c.conv_id, g.conv_id) conv_id,
+                     count(c.subj_url) AS n_comp_rows,
+                     count(g.subj_url) AS n_gold_rows,
+                     count(CASE WHEN c.subj_url IS NOT NULL AND g.subj_url IS NOT NULL THEN 1 END) AS tp
+              FROM comp c FULL JOIN gold g
+                ON c.conv_id = g.conv_id AND c.subj_url = g.subj_url AND c.obj_url = g.obj_url
+              GROUP BY 1
+            ),
+            prf AS (
+              SELECT conv_id, tp,
+                     n_comp_rows - tp AS fp, n_gold_rows - tp AS fn,
+                     CASE WHEN n_comp_rows > 0 THEN tp / CAST(n_comp_rows AS DOUBLE) ELSE 0.0 END AS p,
+                     CASE WHEN n_gold_rows > 0 THEN tp / CAST(n_gold_rows AS DOUBLE) ELSE 0.0 END AS r
+              FROM per_doc
+            )
+            SELECT round(avg(p), 6) AS precision,
+                   round(avg(r), 6) AS recall,
+                   round(avg(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END), 6) AS f1,
+                   CAST(sum(tp) AS BIGINT) tp, CAST(sum(fp) AS BIGINT) fp, CAST(sum(fn) AS BIGINT) fn
+            FROM prf
         """,
         "kg_rdf_sink": """
             SELECT printf('<nation/%s> <inRegion> <region/%s> .',
