@@ -153,3 +153,34 @@ def test_transformer_backends_gated(spark):
         df.collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_embedding_cosine_pairs_within_buckets(spark):
+    """Near-dup pairs: parallel vectors pair up; antipodal ones never meet
+    (different bucket) even though |cos| is high."""
+    from waka_spark.operators.ann import embedding_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.98] * 8), (2, [-1.0] * 8), (3, [0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_cosine_pairs(emb, threshold=0.9, n_planes=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert all(2 not in p for p in pairs)
+    assert all(r.cos > 0.99 for r in got)
+
+
+def test_lsh_bucket_ann_matches_bruteforce_in_bucket(spark):
+    """lsh_bucket_ann returns the brute-force ranking restricted to the
+    query's bucket."""
+    from waka_spark.operators.ann import lsh_bucket_ann
+
+    rows = [(i, [1.0 - 0.01 * i] * 8) for i in range(5)] + [(9, [-1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = lsh_bucket_ann(emb, q, n_planes=3, k=10).collect()
+    ids = [r.vec_id for r in got]
+    assert set(ids) == {1, 2, 3, 4}  # bucket mates only; 9 is antipodal
+    assert all(r.cos > 0.99 for r in got)
