@@ -425,6 +425,120 @@ def q_kg_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ensemble-NER fixture: two overlapping gazetteer backends; A outranks B on
+# the shared surface (entity_recognition.py:343-348 set-union priority)
+ENSEMBLE_A = [("spark", "TERM_A"), ("join", "TERM_A"), ("window", "TERM_A")]
+ENSEMBLE_B = [("window", "TERM_B"), ("filter", "TERM_B"), ("query", "TERM_B")]
+
+# P15 fixture: raw relation surfaces incl. one predicate absent from the
+# property dictionary (exercises the left-join unlinked path)
+RAW_RELS = [
+    ("spark", "links", "join"),
+    ("window", "links", "filter"),
+    ("query", "precedes", "merge"),
+    ("vector", "unknown_rel", "spark"),
+]
+
+
+def q_kg_ensemble_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — ensemble NER union with span-identity dedup
+    (entity_recognition.py:332-349, identity kg.py:34-35): two gazetteer
+    backends over the assembled documents; the earlier backend wins the
+    shared surface's spans, so 'window' keeps e_type TERM_A."""
+    from waka_spark.operators.ner import gazetteer_ner, union_mentions
+
+    docs = q_kg_assembly(spark, sf_dir)
+    merged = union_mentions(
+        gazetteer_ner(docs, ENSEMBLE_A), gazetteer_ner(docs, ENSEMBLE_B)
+    )
+    return merged.groupBy(
+        "conv_id", F.col("text").alias("surface"), "e_type"
+    ).agg(F.count("*").alias("n_mentions"))
+
+
+def q_kg_predicate_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — distinct-predicate top-1 property linking
+    (relation_linking.py:17-79): raw text triples take pred_url/pred_label
+    from a broadcast property-dictionary join; predicates missing from the
+    dictionary stay unlinked (null)."""
+    from waka_spark import schemas
+    from waka_spark.operators.rel_linking import link_predicates
+
+    docs = q_kg_assembly(spark, sf_dir)
+    rels = spark.createDataFrame(RAW_RELS, "s string, p string, o string")
+    raw = (
+        docs.join(
+            F.broadcast(rels),
+            F.col("text").contains(F.col("s"))
+            & F.col("text").contains(F.col("o")),
+        )
+        .select(
+            "conv_id",
+            F.col("s").alias("subj_text"), F.lit("TERM").alias("subj_type"),
+            F.col("p").alias("pred_text"),
+            F.col("o").alias("obj_text"), F.lit("TERM").alias("obj_type"),
+        )
+    )
+    props = spark.createDataFrame(PROPERTIES, schemas.WD_PROPERTIES)
+    linked = link_predicates(raw, props)
+    return linked.select(
+        "conv_id", "pred_text", "pred_url", "pred_label"
+    ).distinct()
+
+
+def q_kg_eval_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P27 — span-identity mention eval (kg.py:53-88) via
+    operators/evals.eval_mentions."""
+    from waka_spark.operators.evals import eval_mentions
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        (F.col("l_partkey") % 997).cast("int").alias("start_idx"),
+        ((F.col("l_partkey") % 997) + (F.col("l_suppkey") % 23) + 1)
+        .cast("int").alias("end_idx"),
+        "l_quantity", "l_discount",
+    )
+    ev = eval_mentions(
+        li.filter(F.col("l_quantity") > 25),
+        li.filter(F.col("l_discount") > 0.05),
+    )
+    return ev.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_kg_eval_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P28 — predicate (text, url) bag-membership eval (kg.py:151-198) via
+    operators/evals.eval_predicates."""
+    from waka_spark.operators.evals import eval_predicates
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.concat(F.lit("p"), F.col("l_linenumber").cast("string"))
+        .alias("pred_text"),
+        F.concat(F.lit("u"), (F.col("l_partkey") % 7).cast("string"))
+        .alias("pred_url"),
+        "l_quantity", "l_discount",
+    )
+    ev = eval_predicates(
+        li.filter(F.col("l_quantity") > 25),
+        li.filter(F.col("l_discount") > 0.05),
+    )
+    return ev.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_kg_rdf_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — RDF N-Triples projection (kg.py:241-245 analog)."""
     n = _t(spark, sf_dir, "nation")
@@ -646,6 +760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_unionfind": q_kg_unionfind,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_macro": q_kg_eval_macro,
+        "kg_eval_mentions": q_kg_eval_mentions,
+        "kg_eval_predicates": q_kg_eval_predicates,
+        "kg_ensemble_union": q_kg_ensemble_union,
+        "kg_predicate_link": q_kg_predicate_link,
         "kg_rdf_sink": q_kg_rdf_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -943,6 +1061,81 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END), 6) AS f1,
                    CAST(sum(tp) AS BIGINT) tp, CAST(sum(fp) AS BIGINT) fp, CAST(sum(fn) AS BIGINT) fn
             FROM prf
+        """,
+        "kg_eval_mentions": """
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) conv_id,
+                     CAST(l_partkey % 997 AS INT) start_idx,
+                     CAST((l_partkey % 997) + (l_suppkey % 23) + 1 AS INT) end_idx,
+                     l_quantity, l_discount
+              FROM lineitem
+            ),
+            comp AS (SELECT DISTINCT conv_id, start_idx, end_idx FROM base WHERE l_quantity > 25),
+            gold AS (SELECT DISTINCT conv_id, start_idx, end_idx FROM base WHERE l_discount > 0.05),
+            counts AS (
+              SELECT
+                (SELECT count(*) FROM comp JOIN gold USING (conv_id, start_idx, end_idx)) AS tp,
+                (SELECT count(*) FROM comp) AS n_comp,
+                (SELECT count(*) FROM gold) AS n_gold
+            )
+            SELECT CAST(tp AS BIGINT) tp,
+                   CAST(n_comp - tp AS BIGINT) fp,
+                   CAST(n_gold - tp AS BIGINT) fn,
+                   round(tp / CAST(n_comp AS DOUBLE), 6) AS precision,
+                   round(tp / CAST(n_gold AS DOUBLE), 6) AS recall,
+                   round(2.0 * (tp / CAST(n_comp AS DOUBLE)) * (tp / CAST(n_gold AS DOUBLE))
+                         / ((tp / CAST(n_comp AS DOUBLE)) + (tp / CAST(n_gold AS DOUBLE))), 6) AS f1
+            FROM counts
+        """,
+        "kg_eval_predicates": """
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) conv_id,
+                     'p' || CAST(l_linenumber AS VARCHAR) pred_text,
+                     'u' || CAST(l_partkey % 7 AS VARCHAR) pred_url,
+                     l_quantity, l_discount
+              FROM lineitem
+            ),
+            comp AS (SELECT DISTINCT conv_id, pred_text, pred_url FROM base WHERE l_quantity > 25),
+            gold AS (SELECT DISTINCT conv_id, pred_text, pred_url FROM base WHERE l_discount > 0.05),
+            counts AS (
+              SELECT
+                (SELECT count(*) FROM comp JOIN gold USING (conv_id, pred_text, pred_url)) AS tp,
+                (SELECT count(*) FROM comp) AS n_comp,
+                (SELECT count(*) FROM gold) AS n_gold
+            )
+            SELECT CAST(tp AS BIGINT) tp,
+                   CAST(n_comp - tp AS BIGINT) fp,
+                   CAST(n_gold - tp AS BIGINT) fn,
+                   round(tp / CAST(n_comp AS DOUBLE), 6) AS precision,
+                   round(tp / CAST(n_gold AS DOUBLE), 6) AS recall,
+                   round(2.0 * (tp / CAST(n_comp AS DOUBLE)) * (tp / CAST(n_gold AS DOUBLE))
+                         / ((tp / CAST(n_comp AS DOUBLE)) + (tp / CAST(n_gold AS DOUBLE))), 6) AS f1
+            FROM counts
+        """,
+        "kg_ensemble_union": f"""
+            WITH {_ASSEMBLY_CTE},
+            gaz(surface, e_type) AS (VALUES
+              ('spark','TERM_A'), ('join','TERM_A'), ('window','TERM_A'),
+              ('filter','TERM_B'), ('query','TERM_B')),
+            hits AS (
+              SELECT conv_id, surface, e_type,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x = surface)) AS BIGINT) AS n_mentions
+              FROM conv, gaz
+            )
+            SELECT conv_id, surface, e_type, n_mentions
+            FROM hits WHERE n_mentions > 0
+        """,
+        "kg_predicate_link": f"""
+            WITH {_ASSEMBLY_CTE},
+            rels(s, p, o) AS (VALUES
+              ('spark','links','join'), ('window','links','filter'),
+              ('query','precedes','merge'), ('vector','unknown_rel','spark')),
+            props(pk, pred_url, pred_label) AS (VALUES
+              ('links', 'http://example.org/P_links', 'links'),
+              ('precedes', 'http://example.org/P_precedes', 'precedes'))
+            SELECT DISTINCT conv_id, r.p AS pred_text, props.pred_url, props.pred_label
+            FROM conv JOIN rels r ON strpos(text, r.s) > 0 AND strpos(text, r.o) > 0
+            LEFT JOIN props ON r.p = props.pk
         """,
         "kg_rdf_sink": """
             SELECT printf('<nation/%s> <inRegion> <region/%s> .',
