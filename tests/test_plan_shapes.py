@@ -89,3 +89,16 @@ def test_e2e_has_no_cartesian(spark):
     df = entry.q_kg_e2e_triples(spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_are_narrow(spark):
+    """MinHash signatures must compute with zero shuffles: the per-band min
+    runs inside higher-order functions over the in-row shingle array, so at
+    10^9 docs nothing but the n_bands signature rows per doc ever moves.
+    (The former shape exploded doc x shingle x band and shuffled it all
+    through a groupBy.)"""
+    from waka_spark.operators.dedup import minhash_signatures
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(df))
+    assert "Exchange" not in plan

@@ -56,11 +56,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    # word_shingles is array_distinct per doc, so the exploded rows are
+    # already unique — no dedup shuffle needed here
     return (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -130,17 +131,30 @@ def minhash_signatures(
     variant; widen by concatenating r salted mins per band for tighter
     similarity thresholds).
     """
-    shingles = _doc_shingles(df, id_col, text_col, n)
-    banded = shingles.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "shingle",
+    # the per-band min is computed NARROW with nested higher-order
+    # functions over the in-row shingle array — no (doc x shingle x band)
+    # explode, no groupBy shuffle; only n_bands signature rows per doc
+    # ever materialize (for the downstream bucket join)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(word_shingles(F.col(text_col), n), "").alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    band_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: F.md5(F.concat_ws("#", s, b.cast("string"))),
+                )
+            ).alias("sig"),
+        ),
     )
     return (
-        banded
-        .withColumn("h", F.md5(F.concat_ws("#", "shingle", "band")))
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("sig"))
+        base.select("doc_id", F.explode(band_sigs).alias("_bs"))
+        .select("doc_id", F.col("_bs.band").alias("band"),
+                F.col("_bs.sig").alias("sig"))
     )
 
 
