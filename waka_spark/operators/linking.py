@@ -100,7 +100,12 @@ def link_entities(
         .filter(F.col("raw_score") >= cfg.min_score)
     )
 
-    # best variant per (mention, url), then top-k per mention
+    # best variant per (mention, url), then top-k per mention.
+    # One explicit repartition on the mention span serves BOTH the per-url
+    # aggregation (its group key is a superset, so hash partitioning on the
+    # span satisfies the clustered distribution) and the top-k window —
+    # without it each operator shuffles the full hits frame separately.
+    hits = hits.repartition("conv_id", "start_idx", "end_idx")
     per_url = (
         hits
         .groupBy("conv_id", "start_idx", "end_idx", "text", "e_type", "url")

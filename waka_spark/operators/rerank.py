@@ -88,9 +88,24 @@ def rerank_candidates(
     candidates: DataFrame,
     sentences: DataFrame,
     threshold: float = 0.05,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Multiply candidate scores by sentence-context similarity, then filter
-    at ``threshold`` (semantics.py:215-221)."""
+    at ``threshold`` (semantics.py:215-221).
+
+    ``dedup_pairs`` picks the physical shape of the similarity stage:
+
+    - ``False`` (default) — score every aligned row directly in one narrow
+      Arrow pass. Right for cheap similarity backends (the lexical CPU
+      one): zero extra shuffles.
+    - ``True`` — score each distinct (sentence, label, description) pair
+      once and hash-join the sims back (the reference's label-dedup CSE,
+      semantics.py:155-167). Right for model backends (SBERT) where one
+      inference per duplicate pair dwarfs the two shuffles this costs.
+
+    Both shapes produce identical values (the sim is a pure function of the
+    pair), so correctness is shape-independent.
+    """
     scorable = candidates.filter(
         F.col("label").isNotNull() | F.col("description").isNotNull()
     )
@@ -135,30 +150,47 @@ def rerank_candidates(
         how="left",
     ).drop(sent_binned["conv_id"]).drop("_s_chunk", "_chunk")
 
-    # score each distinct (sentence, label, description) once, join back on
-    # an 8-byte hash key — shuffling 15M-row frames on long sentence strings
-    # costs more than the model call at corpus scale. Sentences from the
-    # splitter are disjoint, so each span matches at most one sentence and
-    # no post-join dedup is needed.
-    pair_key = F.xxhash64("sent_text", "label", "description")
-    distinct_pairs = (
-        aligned
-        .filter(F.col("sent_text").isNotNull())
-        .select("sent_text", "label", "description")
-        .distinct()
-        .select(
-            pair_key.alias("_pair_key"),
-            _sim_udf("sent_text", "label", "description").alias("sim"),
+    if dedup_pairs:
+        # score each distinct (sentence, label, description) once, join back
+        # on an 8-byte hash key — shuffling 15M-row frames on long sentence
+        # strings costs more than the model call at corpus scale. Sentences
+        # from the splitter are disjoint, so each span matches at most one
+        # sentence and no post-join dedup is needed.
+        pair_key = F.xxhash64("sent_text", "label", "description")
+        distinct_pairs = (
+            aligned
+            .filter(F.col("sent_text").isNotNull())
+            .select("sent_text", "label", "description")
+            .distinct()
+            .select(
+                pair_key.alias("_pair_key"),
+                _sim_udf("sent_text", "label", "description").alias("sim"),
+            )
         )
-    )
-    rescored = (
-        aligned
-        .withColumn("_pair_key", pair_key)
-        .drop("sent_text", "sent_idx", "sent_start", "sent_end")
-        .join(distinct_pairs, on="_pair_key", how="left")
-        .withColumn("score", F.col("score") * F.coalesce("sim", F.lit(1.0)))
-        .select(*candidates.columns)
-    )
+        rescored = (
+            aligned
+            .withColumn("_pair_key", pair_key)
+            .drop("sent_text", "sent_idx", "sent_start", "sent_end")
+            .join(distinct_pairs, on="_pair_key", how="left")
+            .withColumn("score", F.col("score") * F.coalesce("sim", F.lit(1.0)))
+            .select(*candidates.columns)
+        )
+    else:
+        # narrow path: the Arrow UDF runs on every aligned row in place —
+        # no distinct, no join-back. Rows without a containing sentence
+        # keep their score (the when-guard, semantics.py:205-206).
+        rescored = (
+            aligned
+            .withColumn(
+                "score",
+                F.col("score")
+                * F.when(
+                    F.col("sent_text").isNotNull(),
+                    _sim_udf("sent_text", "label", "description"),
+                ).otherwise(F.lit(1.0)),
+            )
+            .select(*candidates.columns)
+        )
 
     return (
         rescored.unionByName(passthrough)
