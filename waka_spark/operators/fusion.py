@@ -75,32 +75,45 @@ def resolve_endpoints(
     """
     queries = endpoint_texts.filter(F.col("q_text").isNotNull() & (F.col("q_text") != ""))
 
-    exact = queries.join(
+    # one left join serves both halves: matched rows ARE the exact
+    # candidates, null rows ARE the misses — replacing the former
+    # inner-join + anti-join(+distinct) pair; the shared shuffle dedupes
+    # via ReusedExchange
+    looked_up = queries.join(
         index,
         on=[
             queries["conv_id"] == index["conv_id"],
             queries["q_text"] == index["mention_text"],
         ],
-    ).select(queries["conv_id"], "q_text", "url", "label", "description",
-             "e_type", "score")
-
-    misses = queries.join(
-        index.select("conv_id", "mention_text").distinct(),
-        on=[
-            queries["conv_id"] == index["conv_id"],
-            queries["q_text"] == index["mention_text"],
-        ],
-        how="left_anti",
+        how="left",
     )
 
+    exact = looked_up.filter(index["url"].isNotNull()).select(
+        queries["conv_id"], "q_text", "url", "label", "description",
+        "e_type", "score")
+
+    misses = looked_up.filter(index["url"].isNull()).select(
+        queries["conv_id"], "q_text")
+
+    # fresh alias: `index` already appears in misses' lineage via the left
+    # join above, so an unaliased second reference would be an ambiguous
+    # self-join
+    idx_fb = index.alias("_fb_idx")
     containment = misses.join(
-        index,
+        idx_fb,
         on=[
-            misses["conv_id"] == index["conv_id"],
-            index["mention_text"].contains(misses["q_text"]),
+            misses["conv_id"] == F.col("_fb_idx.conv_id"),
+            F.col("_fb_idx.mention_text").contains(misses["q_text"]),
         ],
-    ).select(misses["conv_id"], "q_text", "mention_text", "url", "label",
-             "description", "e_type", "score")
+    ).select(
+        misses["conv_id"], "q_text",
+        F.col("_fb_idx.mention_text").alias("mention_text"),
+        F.col("_fb_idx.url").alias("url"),
+        F.col("_fb_idx.label").alias("label"),
+        F.col("_fb_idx.description").alias("description"),
+        F.col("_fb_idx.e_type").alias("e_type"),
+        F.col("_fb_idx.score").alias("score"),
+    )
 
     w = Window.partitionBy("conv_id", "q_text").orderBy(
         F.length("mention_text").desc(), F.col("mention_text").asc()
@@ -178,7 +191,11 @@ def fuse_triples(
         F.col("score").desc(), F.col("subj_url").asc(), F.col("obj_url").asc()
     )
 
-    if use_scorers:
+    # the top-10 cap exists to bound scorer work (kg_construction.py:80-85);
+    # when nothing will rescore, cap-then-argmax == argmax, so skip the
+    # extra window pass entirely
+    has_scorer = known_triples is not None or extra_scorer is not None
+    if use_scorers and has_scorer:
         candidates = (
             candidates
             .withColumn("_rn", F.row_number().over(w_set))
