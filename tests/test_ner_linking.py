@@ -132,3 +132,38 @@ def test_clustering_literal_flag_and_head(spark):
     assert got["Q3955"].e_type == "entity"
     assert got["Q3955"].score == 0.9                   # head = max score
     assert [m.score for m in got["Q3955"].mentions] == [0.9, 0.6]  # desc order
+
+
+def test_rerank_shapes_agree_and_guard_missing_sentence(spark):
+    """The narrow (default) and dedup-pairs rerank shapes must produce
+    identical rows; candidates without a containing sentence keep their
+    score; the threshold filter applies to every row."""
+    from waka_spark.operators.rerank import rerank_candidates, split_sentences
+
+    docs = spark.createDataFrame(
+        [("c1", "Weimar is a city. The school moved away.")],
+        "conv_id string, text string",
+    )
+    # "moved" at 22..27 lies inside sentence 2; the 10..30 span crosses the
+    # sentence boundary so no sentence contains it (score kept); the low
+    # candidate is dropped by the threshold
+    cands = spark.createDataFrame(
+        [
+            ("c1", 0, 6, "Weimar", "GPE", "Q1", "Weimar", "city", 0.5),
+            ("c1", 10, 30, "crosser", "ORG", "Q2", "school", "org", 0.4),
+            ("c1", 22, 27, "moved", "MISC", "Q3", "nothing", "absent", 0.5),
+            ("c1", 0, 6, "Weimar", "GPE", "Q4", "tiny", "tiny", 0.01),
+        ],
+        schemas.CANDIDATES,
+    )
+    sents = split_sentences(docs)
+    narrow = rerank_candidates(cands, sents, threshold=0.05)
+    dedup = rerank_candidates(cands, sents, threshold=0.05, dedup_pairs=True)
+    key = lambda r: (r["conv_id"], r["start_idx"], r["end_idx"], r["url"])  # noqa: E731
+    ns = {key(r): round(r["score"], 9) for r in narrow.collect()}
+    ds = {key(r): round(r["score"], 9) for r in dedup.collect()}
+    assert ns == ds
+    assert ("c1", 10, 30, "Q2") in ns and ns[("c1", 10, 30, "Q2")] == 0.4
+    assert ("c1", 0, 6, "Q4") not in ns          # thresholded out
+    # "Weimar is a city." contains both tokens of "Weimar city" -> sim 1.0
+    assert ns[("c1", 0, 6, "Q1")] == 0.5

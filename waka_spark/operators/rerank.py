@@ -84,6 +84,31 @@ def _sim_udf(sent: pd.Series, label: pd.Series, desc: pd.Series) -> pd.Series:
     ])
 
 
+def _token_arr(col):
+    """JVM analog of ``_tokens``: distinct [a-z0-9]+ runs, lowercased."""
+    return F.array_remove(
+        F.array_distinct(F.split(F.lower(F.coalesce(col, F.lit(""))),
+                                 r"[^a-z0-9]+")),
+        "",
+    )
+
+
+def lexical_sim_col(sent, label, desc):
+    """``lexical_containment_sim`` as a native column expression — identical
+    values, but whole-stage-codegen JVM arithmetic instead of a Python UDF.
+    At corpus scale the UDF variant is memory-bandwidth-bound (every
+    aligned row ships its sentence string through Arrow); this one never
+    leaves the JVM."""
+    cand = _token_arr(F.concat_ws(" ", F.coalesce(label, F.lit("")),
+                                  F.coalesce(desc, F.lit(""))))
+    overlap = F.size(F.array_intersect(cand, _token_arr(sent)))
+    # parenthesization mirrors the Python backend bit-for-bit:
+    # 0.3 + 0.7 * (overlap / len)
+    return F.when(F.size(cand) == 0, F.lit(1.0)).otherwise(
+        F.lit(0.3) + F.lit(0.7) * (overlap / F.size(cand))
+    )
+
+
 def rerank_candidates(
     candidates: DataFrame,
     sentences: DataFrame,
@@ -176,9 +201,10 @@ def rerank_candidates(
             .select(*candidates.columns)
         )
     else:
-        # narrow path: the Arrow UDF runs on every aligned row in place —
-        # no distinct, no join-back. Rows without a containing sentence
-        # keep their score (the when-guard, semantics.py:205-206).
+        # narrow path: the sim is a native JVM column expression evaluated
+        # on every aligned row in place — no distinct, no join-back, no
+        # Python/Arrow hop. Rows without a containing sentence keep their
+        # score (the when-guard, semantics.py:205-206).
         rescored = (
             aligned
             .withColumn(
@@ -186,7 +212,8 @@ def rerank_candidates(
                 F.col("score")
                 * F.when(
                     F.col("sent_text").isNotNull(),
-                    _sim_udf("sent_text", "label", "description"),
+                    lexical_sim_col(F.col("sent_text"), F.col("label"),
+                                    F.col("description")),
                 ).otherwise(F.lit(1.0)),
             )
             .select(*candidates.columns)
