@@ -92,13 +92,16 @@ def test_e2e_has_no_cartesian(spark):
 
 
 def test_minhash_signatures_are_narrow(spark):
-    """MinHash signatures must compute with zero shuffles: the per-band min
-    runs inside higher-order functions over the in-row shingle array, so at
-    10^9 docs nothing but the n_bands signature rows per doc ever moves.
-    (The former shape exploded doc x shingle x band and shuffled it all
-    through a groupBy.)"""
+    """MinHash signatures must never shuffle exploded rows: the per-band
+    min runs inside higher-order functions over the in-row shingle array,
+    so at 10^9 docs nothing but the n_bands signature rows per doc ever
+    moves. (The former shape exploded doc x shingle x band and shuffled it
+    all through a groupBy keyed on (doc_id, band).) The only exchange
+    allowed is the pre-explode parallelism floor on the raw doc rows."""
     from waka_spark.operators.dedup import minhash_signatures
 
     df = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures(df))
-    assert "Exchange" not in plan
+    assert plan.count("+- Exchange") <= 1
+    # no aggregation anywhere in the plan — the min is in-row
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan

@@ -53,14 +53,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _parallel_floor(df: DataFrame, id_col: str) -> DataFrame:
+    """Shingling/hashing is CPU-heavy narrow work that runs at *scan*
+    parallelism — a small parquet reads as 1-2 partitions and strands the
+    other cores. Repartition the (cheap, pre-explode) doc rows up to
+    2x cores when the scan is under-split; at production scale the scan
+    already has more partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = 2 * sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    return df
+
+
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     # word_shingles is array_distinct per doc, so the exploded rows are
     # already unique — no dedup shuffle needed here
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        _parallel_floor(df, id_col)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -135,7 +149,7 @@ def minhash_signatures(
     # functions over the in-row shingle array — no (doc x shingle x band)
     # explode, no groupBy shuffle; only n_bands signature rows per doc
     # ever materialize (for the downstream bucket join)
-    base = df.select(
+    base = _parallel_floor(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.array_remove(word_shingles(F.col(text_col), n), "").alias("_sh"),
     ).filter(F.size("_sh") > 0)
