@@ -106,7 +106,14 @@ def run_level(cpus: int, input_dir: str) -> dict:
         cmd, capture_output=True, text=True, timeout=14400,
         cwd=str(Path(__file__).resolve().parent.parent),
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not json_lines:
+        # surface the worker's actual Spark error instead of an IndexError
+        sys.stderr.write(out.stderr[-8000:] + "\n")
+        raise RuntimeError(
+            f"worker local[{cpus}] failed (rc={out.returncode}); "
+            "stderr above")
+    line = json_lines[-1]
     return json.loads(line)
 
 

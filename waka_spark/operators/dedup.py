@@ -56,14 +56,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def _parallel_floor(df: DataFrame, id_col: str) -> DataFrame:
     """Shingling/hashing is CPU-heavy narrow work that runs at *scan*
     parallelism — a small parquet reads as 1-2 partitions and strands the
-    other cores. Repartition the (cheap, pre-explode) doc rows up to
-    2x cores when the scan is under-split; at production scale the scan
-    already has more partitions and this is a no-op."""
+    other cores. Unconditionally repartition the (cheap, pre-explode) doc
+    rows to 2x cores: an explicit repartition is exempt from AQE
+    coalescing, so the CPU stage keeps its parallelism, and re-splitting
+    already-wide input is one cheap shuffle of narrow rows. (A conditional
+    on the observed partition count was rejected: pre-AQE
+    ``df.rdd.getNumPartitions()`` reports ``spark.sql.shuffle.partitions``
+    for any shuffled input — even when AQE will coalesce it to a handful
+    at runtime — and the ``df.rdd`` call itself forces an extra
+    plan-to-RDD conversion.)"""
     sc = df.sparkSession.sparkContext
-    target = 2 * sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
-    return df
+    return df.repartition(2 * sc.defaultParallelism, F.col(id_col))
 
 
 def _doc_shingles(

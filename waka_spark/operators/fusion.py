@@ -64,7 +64,8 @@ def mention_entity_index(entities: DataFrame) -> DataFrame:
 
 
 def resolve_endpoints(
-    endpoint_texts: DataFrame, index: DataFrame
+    endpoint_texts: DataFrame, index: DataFrame,
+    max_fallback_queries_per_conv: int | None = None,
 ) -> DataFrame:
     """P16 lookup: endpoint_texts(conv_id, q_text) → candidate entities.
 
@@ -72,57 +73,95 @@ def resolve_endpoints(
     *longest* mention surface containing q_text (ties → lexicographically
     smallest surface), per kg_construction.py:221-227. Empty q_text resolves
     to nothing (kg_construction.py:218-219).
+
+    Scale shape of the fallback: the containment theta-join is inherently
+    per-conv quadratic, so (a) its right side is the *distinct surface*
+    list per conv (usually far smaller than the full (surface, url) index;
+    the winning surface's entities are fetched by equi-join afterwards),
+    and (b) ``max_fallback_queries_per_conv`` optionally caps the number of
+    miss-queries entering the join per conversation (deterministic
+    shortest-first order — short queries are likeliest to be substrings),
+    bounding a Zipf-hot conversation at the cost of dropping candidates
+    for the overflow (they resolve to nothing, exactly as if unmatched).
+    Default None = exact reference semantics.
     """
     queries = endpoint_texts.filter(F.col("q_text").isNotNull() & (F.col("q_text") != ""))
 
     # one left join serves both halves: matched rows ARE the exact
-    # candidates, null rows ARE the misses — replacing the former
+    # candidates, unmatched rows ARE the misses — replacing the former
     # inner-join + anti-join(+distinct) pair; the shared shuffle dedupes
-    # via ReusedExchange
+    # via ReusedExchange. The explicit _hit marker (not url nullability)
+    # keeps the split correct even if the index ever carries null urls.
+    marked = index.withColumn("_hit", F.lit(True))
     looked_up = queries.join(
-        index,
+        marked,
         on=[
-            queries["conv_id"] == index["conv_id"],
-            queries["q_text"] == index["mention_text"],
+            queries["conv_id"] == marked["conv_id"],
+            queries["q_text"] == marked["mention_text"],
         ],
         how="left",
     )
 
-    exact = looked_up.filter(index["url"].isNotNull()).select(
+    exact = looked_up.filter(F.col("_hit").isNotNull()).select(
         queries["conv_id"], "q_text", "url", "label", "description",
         "e_type", "score")
 
-    misses = looked_up.filter(index["url"].isNull()).select(
+    misses = looked_up.filter(F.col("_hit").isNull()).select(
         queries["conv_id"], "q_text")
+
+    if max_fallback_queries_per_conv is not None:
+        w_cap = Window.partitionBy("conv_id").orderBy(
+            F.length("q_text").asc(), F.col("q_text").asc()
+        )
+        misses = (
+            misses
+            .withColumn("_q_rank", F.row_number().over(w_cap))
+            .filter(F.col("_q_rank") <= max_fallback_queries_per_conv)
+            .drop("_q_rank")
+        )
 
     # fresh alias: `index` already appears in misses' lineage via the left
     # join above, so an unaliased second reference would be an ambiguous
-    # self-join
-    idx_fb = index.alias("_fb_idx")
+    # self-join. The containment join probes only the distinct surfaces —
+    # the full (surface, url) index rows join back by equality afterwards.
+    surfaces = (
+        index.select("conv_id", "mention_text").distinct().alias("_fb_sf")
+    )
     containment = misses.join(
-        idx_fb,
+        surfaces,
         on=[
-            misses["conv_id"] == F.col("_fb_idx.conv_id"),
-            F.col("_fb_idx.mention_text").contains(misses["q_text"]),
+            misses["conv_id"] == F.col("_fb_sf.conv_id"),
+            F.col("_fb_sf.mention_text").contains(misses["q_text"]),
         ],
     ).select(
         misses["conv_id"], "q_text",
-        F.col("_fb_idx.mention_text").alias("mention_text"),
-        F.col("_fb_idx.url").alias("url"),
-        F.col("_fb_idx.label").alias("label"),
-        F.col("_fb_idx.description").alias("description"),
-        F.col("_fb_idx.e_type").alias("e_type"),
-        F.col("_fb_idx.score").alias("score"),
+        F.col("_fb_sf.mention_text").alias("mention_text"),
     )
 
     w = Window.partitionBy("conv_id", "q_text").orderBy(
         F.length("mention_text").desc(), F.col("mention_text").asc()
     )
-    fallback = (
+    best_surface = (
         containment
-        .withColumn("_key_rank", F.dense_rank().over(w))
+        .withColumn("_key_rank", F.row_number().over(w))
         .filter(F.col("_key_rank") == 1)
-        .drop("_key_rank", "mention_text")
+        .drop("_key_rank")
+    )
+
+    idx_fb = index.alias("_fb_idx")
+    fallback = best_surface.join(
+        idx_fb,
+        on=[
+            best_surface["conv_id"] == F.col("_fb_idx.conv_id"),
+            best_surface["mention_text"] == F.col("_fb_idx.mention_text"),
+        ],
+    ).select(
+        best_surface["conv_id"], "q_text",
+        F.col("_fb_idx.url").alias("url"),
+        F.col("_fb_idx.label").alias("label"),
+        F.col("_fb_idx.description").alias("description"),
+        F.col("_fb_idx.e_type").alias("e_type"),
+        F.col("_fb_idx.score").alias("score"),
     )
 
     return exact.unionByName(fallback)
@@ -135,6 +174,7 @@ def fuse_triples(
     extra_scorer: Callable[[DataFrame], DataFrame] | None = None,
     cfg: FusionConfig = FusionConfig(),
     use_scorers: bool = True,
+    documents: DataFrame | None = None,
 ) -> DataFrame:
     """P17→P18→P21→P22. Returns fused triples:
     (conv_id, ts_id, subj_url, pred_url, obj_url, score, id_,
@@ -144,8 +184,14 @@ def fuse_triples(
     ``use_scorers=False`` reproduces the reference's ``KGConstructor([])``
     fusion-only evaluation mode (evaluate_kg_creation.py:17): no cap, no
     boost (the cap is applied only when scorers run, kg_construction.py:79-85).
+
+    ``documents`` (conv_id, text): when given alongside ``extra_scorer``,
+    the document text is joined onto the candidate frame as ``doc_text``
+    before scoring — the NLI scorer's contract (semantics.py:144-173 scores
+    the verbalized triple against the *document*). One row per conv_id, so
+    the join is a plain hash join on the conversation key.
     """
-    # the index feeds three plan branches (exact join, anti-join misses,
+    # the index feeds two plan branches (the exact-lookup left join and the
     # containment fallback) and `resolved` feeds two (subj/obj sides) —
     # persist both or each branch recomputes the mention explode + agg
     index = mention_entity_index(entities).persist()
@@ -160,7 +206,10 @@ def fuse_triples(
         .unionByName(triples.select("conv_id", F.col("obj_text").alias("q_text")))
         .distinct()
     )
-    resolved = resolve_endpoints(endpoints, index).persist()
+    resolved = resolve_endpoints(
+        endpoints, index,
+        max_fallback_queries_per_conv=cfg.max_fallback_queries_per_conv,
+    ).persist()
 
     subj_c = resolved.select(
         F.col("conv_id").alias("s_conv"), F.col("q_text").alias("s_text"),
@@ -216,7 +265,15 @@ def fuse_triples(
                 .drop("_known")
             )
         if extra_scorer is not None:
+            if documents is not None and "doc_text" not in candidates.columns:
+                candidates = candidates.join(
+                    documents.select(
+                        "conv_id", F.col("text").alias("doc_text")),
+                    "conv_id",
+                )
             candidates = extra_scorer(candidates)
+            if "doc_text" in candidates.columns:
+                candidates = candidates.drop("doc_text")
 
     best = (
         candidates

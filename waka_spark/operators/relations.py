@@ -257,31 +257,58 @@ def transformer_relation_extraction(
     max_length: int = 512,
     num_beams: int = 3,
     num_return_sequences: int = 3,
+    model_loader=None,
 ) -> DataFrame:
     """mREBEL dataflow (relation_extraction.py:106-150) as an Arrow-batched
     mapInPandas: sentence split → batched generate → tag decode → dedup.
-    Requires ``transformers`` + model weights (not in this sandbox); the
-    per-executor model cache pattern is the production shape.
+
+    ``model_loader`` is a zero-arg callable returning
+    ``generate(sentences: list[str]) -> list[str]`` — the flattened tagged
+    generations (``num_return_sequences`` strings per input sentence, or
+    any number; every string is decoded). Captured in the closure, invoked
+    once per executor worker. The default loader wraps the mREBEL
+    tokenizer+model and is import-gated (no transformers/torch in this
+    sandbox); tests inject a deterministic fake generator, executing the
+    identical split→generate→decode→dedup dataflow.
     """
     from waka_spark.operators.rerank import _SENT_RE
 
-    model_cache: dict[str, object] = {}
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def default_loader():
         try:
             from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
         except ImportError as e:  # pragma: no cover - env without torch
             raise NotImplementedError(
                 "transformer relation extraction needs the `transformers` "
                 "package and model weights; use rule_relation_extraction "
-                "or decoded_mrebel_to_df in this environment"
+                "or decoded_mrebel_to_df in this environment, or inject "
+                "model_loader"
             ) from e
 
-        if "model" not in model_cache:  # once per executor process
-            model_cache["tokenizer"] = AutoTokenizer.from_pretrained(
-                model_dir, src_lang="en_XX", tgt_lang="tp_XX")
-            model_cache["model"] = AutoModelForSeq2SeqLM.from_pretrained(model_dir)
-        tokenizer, model = model_cache["tokenizer"], model_cache["model"]
+        tokenizer = AutoTokenizer.from_pretrained(
+            model_dir, src_lang="en_XX", tgt_lang="tp_XX")
+        model = AutoModelForSeq2SeqLM.from_pretrained(model_dir)
+
+        def generate(sentences: list[str]) -> list[str]:
+            inputs = tokenizer(sentences, max_length=max_length,
+                               padding=True, truncation=True,
+                               return_tensors="pt")
+            generated = model.generate(
+                inputs["input_ids"], attention_mask=inputs["attention_mask"],
+                decoder_start_token_id=tokenizer.convert_tokens_to_ids("tp_XX"),
+                max_length=max_length, num_beams=num_beams,
+                num_return_sequences=num_return_sequences, length_penalty=0,
+            )
+            return tokenizer.batch_decode(generated, skip_special_tokens=False)
+
+        return generate
+
+    loader = model_loader or default_loader
+    model_cache: dict[str, object] = {}
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if "generate" not in model_cache:  # once per executor process
+            model_cache["generate"] = loader()
+        generate = model_cache["generate"]
 
         for pdf in batches:
             rows = []
@@ -289,16 +316,7 @@ def transformer_relation_extraction(
                 sentences = [m.group(0).strip() for m in _SENT_RE.finditer(text or "")]
                 if not sentences:
                     continue
-                inputs = tokenizer(sentences, max_length=max_length,
-                                   padding=True, truncation=True,
-                                   return_tensors="pt")
-                generated = model.generate(
-                    inputs["input_ids"], attention_mask=inputs["attention_mask"],
-                    decoder_start_token_id=tokenizer.convert_tokens_to_ids("tp_XX"),
-                    max_length=max_length, num_beams=num_beams,
-                    num_return_sequences=num_return_sequences, length_penalty=0,
-                )
-                for tagged in tokenizer.batch_decode(generated, skip_special_tokens=False):
+                for tagged in generate(sentences):
                     for t in decode_mrebel_tags(tagged):
                         rows.append({"conv_id": conv_id, **t})
             yield pd.DataFrame(

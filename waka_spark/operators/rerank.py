@@ -114,9 +114,18 @@ def rerank_candidates(
     sentences: DataFrame,
     threshold: float = 0.05,
     dedup_pairs: bool = False,
+    sim_udf=None,
 ) -> DataFrame:
     """Multiply candidate scores by sentence-context similarity, then filter
     at ``threshold`` (semantics.py:215-221).
+
+    ``sim_udf`` swaps the similarity backend: a pandas UDF with signature
+    (sent, label, description) -> double — e.g.
+    ``F.pandas_udf(sbert_similarity_scorer(...), "double")`` for the P11
+    SBERT production scorer (semantics.py:210-217). Model backends always
+    run through the distinct-pair CSE shape (``dedup_pairs`` is forced on:
+    one inference per duplicate pair dwarfs the join-back cost, and the
+    distinct already filters the null-sentence rows a model can't take).
 
     ``dedup_pairs`` picks the physical shape of the similarity stage:
 
@@ -131,6 +140,9 @@ def rerank_candidates(
     Both shapes produce identical values (the sim is a pure function of the
     pair), so correctness is shape-independent.
     """
+    if sim_udf is not None:
+        dedup_pairs = True
+
     scorable = candidates.filter(
         F.col("label").isNotNull() | F.col("description").isNotNull()
     )
@@ -189,7 +201,8 @@ def rerank_candidates(
             .distinct()
             .select(
                 pair_key.alias("_pair_key"),
-                _sim_udf("sent_text", "label", "description").alias("sim"),
+                (sim_udf or _sim_udf)("sent_text", "label", "description")
+                .alias("sim"),
             )
         )
         rescored = (

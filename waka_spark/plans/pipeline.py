@@ -94,7 +94,10 @@ class KGPipeline:
             raw_triples, self.properties, self.cfg.relation_linker
         )
 
-    def fused(self, linked_triples: DataFrame, entities: DataFrame) -> DataFrame:
+    def fused(
+        self, linked_triples: DataFrame, entities: DataFrame,
+        documents: DataFrame | None = None,
+    ) -> DataFrame:
         return fuse_triples(
             linked_triples,
             entities,
@@ -102,6 +105,7 @@ class KGPipeline:
             extra_scorer=self.extra_scorer,
             cfg=self.cfg.fusion,
             use_scorers=self.use_scorers,
+            documents=documents,
         )
 
     # ---- whole graph -------------------------------------------------------
@@ -121,11 +125,6 @@ class KGPipeline:
           recompute for multi-consumer stages — but every boundary is a hard
           scheduling barrier, so stage latencies *add* and short stages
           can't overlap. Best for interactive/debug runs.
-        - ``"persist"`` — lazy ``persist()`` per stage, one terminal action.
-          Multi-consumer stages still compute once (first consumer fills the
-          cache) but Spark schedules the whole DAG at once: the EL branch
-          and the RE branch run concurrently and barriers disappear. Best
-          for throughput runs — this is what the bench/submit paths use.
         - ``"smart"`` — eager ``localCheckpoint`` only at *multi-consumer*
           boundaries (documents ×3, entities ×2, fused ×2+); single-consumer
           stages (mentions, candidates, linked) stay fused into their
@@ -146,6 +145,11 @@ class KGPipeline:
             mode = "none"
         else:
             mode = cut_lineage
+        if mode not in ("checkpoint", "smart", "none"):
+            raise ValueError(
+                f"cut_lineage must be one of 'checkpoint'/'smart'/'none' "
+                f"(or True/False), got {cut_lineage!r}"
+            )
         ident = lambda df: df  # noqa: E731
         lc = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
         if mode == "checkpoint":
@@ -173,7 +177,7 @@ class KGPipeline:
         raw = self.raw_triples(docs)
         linked = cut(self.linked_triples(raw))
 
-        fused = cut_shared(self.fused(linked, ents))
+        fused = cut_shared(self.fused(linked, ents, docs))
 
         if resolve:
             triples, final_entities = apply_conflict_resolution(fused, ents)

@@ -11,6 +11,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of detected host memory, clamped to [4g, 64g]."""
+    try:
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    return f"{min(64, max(4, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "waka_spark",
     master: str | None = None,
@@ -47,7 +56,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("WAKA_DRIVER_MEM", "64g"))
+        # default heap sized from detected host memory (~half, capped at
+        # 64g, floored at 4g); bench paths opt into more via WAKA_DRIVER_MEM.
+        # A fixed 64g default invites OS OOM-kills on smaller hosts.
+        .config("spark.driver.memory",
+                os.environ.get("WAKA_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
