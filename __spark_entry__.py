@@ -664,14 +664,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs: exact cosine >= 0.2 within
-    md5-derived LSH sign buckets (operators/ann.embedding_cosine_pairs) —
-    the bucket join replaces the all-pairs cross join at 10^9 vectors."""
+    """Embedding-space near-dup pairs: exact cosine >= 0.2 within *banded*
+    md5-derived LSH sign buckets (operators/ann.embedding_cosine_pairs,
+    2 bands x 3 planes) — banded bucket joins replace the all-pairs cross
+    join at 10^9 vectors, with recall from the band OR."""
     from waka_spark.operators.ann import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
-    return embedding_cosine_pairs(emb, threshold=0.2, n_planes=6)
+    return embedding_cosine_pairs(emb, threshold=0.2, n_bands=2, band_planes=3)
+
+
+def q_ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH approximate top-5 (operators/ann.lsh_bucket_ann,
+    2 bands x 3 planes): candidates collide in >=1 band, dedup, rank."""
+    from waka_spark.operators.ann import lsh_bucket_ann
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_bucket_ann(emb, queries, n_bands=2, band_planes=3, k=5)
 
 
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_banded_topk": q_ann_banded_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1268,20 +1282,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
             ),
             buckets AS (
-              SELECT e.vec_id, e.v,
+              SELECT e.vec_id, e.v, p.plane // 3 AS band,
                      CAST(sum(CASE WHEN list_dot_product(e.v, p.components) > 0
-                              THEN (1 << plane) ELSE 0 END) AS INT) bucket
-              FROM emb e, planes p GROUP BY e.vec_id, e.v
+                              THEN (1 << (p.plane % 3)) ELSE 0 END) AS INT) bucket
+              FROM emb e, planes p GROUP BY e.vec_id, e.v, p.plane // 3
             )
-            SELECT a.vec_id id_a, b.vec_id id_b,
+            SELECT DISTINCT a.vec_id id_a, b.vec_id id_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
                             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
             FROM buckets a JOIN buckets b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+        """,
+        "ann_banded_topk": """
+            WITH comp AS (
+              SELECT p.plane, i.i,
+                     CAST(('0x' || substr(md5(p.plane || ':' || i.i), 1, 4)) AS BIGINT)
+                       / 65535.0 - 0.5 AS c
+              FROM (SELECT unnest(generate_series(0, 5)) AS plane) p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+            ),
+            planes AS (
+              SELECT plane, list(c ORDER BY i) AS components FROM comp GROUP BY plane
+            ),
+            emb AS (
+              SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+            ),
+            buckets AS (
+              SELECT e.vec_id, e.v, p.plane // 3 AS band,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, p.components) > 0
+                              THEN (1 << (p.plane % 3)) ELSE 0 END) AS INT) bucket
+              FROM emb e, planes p GROUP BY e.vec_id, e.v, p.plane // 3
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS q_id, c.vec_id, c.v, q.v AS q_vec
+              FROM buckets c JOIN buckets q
+                ON c.band = q.band AND c.bucket = q.bucket
+              WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+            ),
+            scored AS (
+              SELECT q_id, vec_id,
+                     round(list_dot_product(v, q_vec)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(q_vec, q_vec))), 6) AS cos
+              FROM cand
+            )
+            SELECT q_id, vec_id, cos, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -164,23 +164,53 @@ def test_embedding_cosine_pairs_within_buckets(spark):
         [(0, [1.0] * 8), (1, [0.98] * 8), (2, [-1.0] * 8), (3, [0.5] * 8)],
         "vec_id long, embedding array<double>",
     )
-    got = embedding_cosine_pairs(emb, threshold=0.9, n_planes=4).collect()
+    got = embedding_cosine_pairs(
+        emb, threshold=0.9, n_bands=2, band_planes=2).collect()
     pairs = {(r.id_a, r.id_b) for r in got}
     assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
     assert all(2 not in p for p in pairs)
     assert all(r.cos > 0.99 for r in got)
+    # multi-band collisions dedup to one row per pair
+    assert len(got) == len(pairs)
 
 
 def test_lsh_bucket_ann_matches_bruteforce_in_bucket(spark):
     """lsh_bucket_ann returns the brute-force ranking restricted to the
-    query's bucket."""
+    query's shared buckets."""
     from waka_spark.operators.ann import lsh_bucket_ann
 
     rows = [(i, [1.0 - 0.01 * i] * 8) for i in range(5)] + [(9, [-1.0] * 8)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = emb.filter("vec_id = 0").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    got = lsh_bucket_ann(emb, q, n_planes=3, k=10).collect()
+    got = lsh_bucket_ann(emb, q, n_bands=1, band_planes=3, k=10).collect()
     ids = [r.vec_id for r in got]
     assert set(ids) == {1, 2, 3, 4}  # bucket mates only; 9 is antipodal
     assert all(r.cos > 0.99 for r in got)
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3, 4]
+
+
+def test_embedding_bucket_cap_drops_hot_bucket(spark):
+    """max_bucket_size excludes oversized buckets from pair generation:
+    a 20-vector parallel clique (hot in every band) vanishes, the small
+    cluster survives. lsh_bucket_stats reports the occupancy the cap acted
+    on."""
+    from waka_spark.operators.ann import embedding_cosine_pairs, lsh_bucket_stats
+
+    hot = [(i, [1.0 + 0.001 * i] * 8) for i in range(20)]
+    cold = [(100, [-1.0] * 8), (101, [-0.99] * 8)]
+    emb = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_cosine_pairs(
+        emb, threshold=0.9, n_bands=2, band_planes=2)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+
+    capped = embedding_cosine_pairs(
+        emb, threshold=0.9, n_bands=2, band_planes=2, max_bucket_size=5)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(100, 101)}
+
+    stats = lsh_bucket_stats(emb, n_bands=2, band_planes=2)
+    occupancies = sorted(r.n_vectors for r in stats.collect())
+    assert occupancies == [2, 2, 20, 20]  # hot bucket visible pre-cap

@@ -3,16 +3,23 @@
 - ``cosine_topk`` — exact brute force: broadcast the (small) query set,
   JVM-side ``zip_with``/``aggregate`` dot products, one ``row_number``
   per query. The correctness baseline.
-- ``lsh_bucket_ann`` — the scale path: sign-of-projection LSH against
-  deterministic md5-derived hyperplanes buckets both sides, then brute
-  force *within* buckets only. Recall < 1 by construction; raise
-  ``n_planes``/multi-probe for recall, the bucket join replaces the
-  all-pairs cross join that cannot exist at 10^9 vectors.
+- ``lsh_bucket_ann`` — the scale path: *banded* sign-of-projection LSH
+  (``n_bands`` bands × ``band_planes`` planes per band, exactly the
+  MinHash OR-of-ANDs banding one file over in dedup.py): a vector lands
+  in one bucket per band, candidates collide in ≥1 band, brute force only
+  within buckets. Banding is what makes this survive 10^9 vectors: recall
+  comes from more bands (OR), bucket size stays bounded by planes-per-band
+  (AND) — a single flat sign pattern would need either huge buckets (few
+  planes) or vanishing recall (many planes).
 - ``embedding_cosine_pairs`` — near-duplicate detection by cosine ≥ τ
-  within LSH buckets (the embedding-space analog of dedup.py).
+  within banded LSH buckets (the embedding-space analog of dedup.py),
+  with an optional ``max_bucket_size`` guard: buckets above the cap are
+  dropped from pair generation (a hot bucket is quadratic), and
+  ``lsh_bucket_stats`` reports exactly what a cap would drop.
 
 Hyperplane components are md5-derived in [-0.5, 0.5] so the DuckDB oracle
-reproduces them bit-for-bit — no RNG state to ship.
+reproduces them bit-for-bit — no RNG state to ship. Plane ``p`` globally
+is band ``p // band_planes``, bit ``p % band_planes``.
 """
 
 from __future__ import annotations
@@ -110,40 +117,112 @@ def lsh_bucket(vec: Column, planes_components: Column) -> Column:
     )
 
 
+def _collected_planes(embeddings: DataFrame, vec_col: str, n_planes: int) -> Column:
+    """Hyperplane components as an array<array<double>> literal (6-30 tiny
+    rows collected once at plan-build — a broadcast dictionary, not a data
+    collect)."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(spark, dim, n_planes)
+    return F.array(*[
+        F.lit(row["components"]).cast("array<double>")
+        for row in planes.orderBy("plane").collect()
+    ])
+
+
+def banded_lsh_tags(
+    df: DataFrame,
+    comps: Column,
+    n_bands: int,
+    band_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding) → one (id, embedding, band, bucket) row per band.
+
+    All ``n_bands * band_planes`` sign bits are computed narrow in one
+    projection (each dot product evaluated once), then sliced into
+    per-band bucket ids — n_bands rows per vector, no shuffle."""
+    vec = F.col(vec_col)
+    bits = F.transform(
+        comps,
+        lambda plane: F.when(_dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("embedding"),
+        bits.alias("_bits"),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_bits"), b * band_planes + 1, band_planes),
+                    F.sequence(F.lit(0), F.lit(band_planes - 1)),
+                    lambda bit, j: (
+                        bit.cast("double") * F.pow(F.lit(2.0), j.cast("double"))
+                    ).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("bucket"),
+        ),
+    )
+    return base.select(
+        "vec_id", "embedding", F.explode(bands).alias("_bb")
+    ).select("vec_id", "embedding", F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"))
+
+
+def lsh_bucket_stats(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(band, bucket) occupancy — the ops-side view of what a
+    ``max_bucket_size`` cap would drop. Log/inspect before picking caps."""
+    comps = _collected_planes(embeddings, vec_col, n_bands * band_planes)
+    return (
+        banded_lsh_tags(embeddings, comps, n_bands, band_planes, id_col, vec_col)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     queries: DataFrame,
-    n_planes: int = 6,
+    n_bands: int = 2,
+    band_planes: int = 3,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus and queries by hyperplane signs,
-    brute-force only within the query's bucket."""
-    spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(spark, dim, n_planes)
-    comps = F.array(*[
-        F.lit(row["components"]).cast("array<double>")
-        for row in planes.orderBy("plane").collect()
-    ])
+    """Approximate top-k: banded-bucket both sides, brute-force within any
+    shared (band, bucket), dedup collisions, rank per query. More bands →
+    higher recall (OR over bands); more planes per band → smaller buckets
+    (AND within a band)."""
+    comps = _collected_planes(embeddings, vec_col, n_bands * band_planes)
+    corp = banded_lsh_tags(
+        embeddings, comps, n_bands, band_planes, id_col, vec_col)
+    qs = banded_lsh_tags(
+        queries, comps, n_bands, band_planes, q_id_col, q_vec_col
+    ).withColumnsRenamed({"vec_id": "q_id", "embedding": "q_vec"})
 
-    corp = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        lsh_bucket(F.col(vec_col), comps).alias("bucket"),
-    )
-    qs = queries.select(
-        F.col(q_id_col).alias("q_id"),
-        F.col(q_vec_col).alias("q_vec"),
-        lsh_bucket(F.col(q_vec_col), comps).alias("bucket"),
-    )
     scored = (
-        corp.join(F.broadcast(qs), "bucket")
+        corp.join(F.broadcast(qs), ["band", "bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("q_vec")), 6))
+        # a pair colliding in several bands has identical cos — dedup to
+        # one row before ranking (max is a no-op aggregator here)
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -151,39 +230,51 @@ def lsh_bucket_ann(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "bucket", "vec_id", "cos", "rank")
+        .select("q_id", "vec_id", "cos", "rank")
     )
 
 
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_bands: int = 2,
+    band_planes: int = 3,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine within LSH buckets (embedding-space
-    near-dup dedup; exact within buckets)."""
-    spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(spark, dim, n_planes)
-    comps = F.array(*[
-        F.lit(row["components"]).cast("array<double>")
-        for row in planes.orderBy("plane").collect()
-    ])
-    tagged = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        lsh_bucket(F.col(vec_col), comps).alias("bucket"),
-    )
+    """Near-duplicate pairs by cosine within banded LSH buckets
+    (embedding-space near-dup dedup; exact within buckets, recall over
+    bands).
+
+    ``max_bucket_size`` is the scale guard: the within-bucket self-join is
+    quadratic in bucket occupancy, so buckets above the cap are excluded
+    from pair generation entirely (their pairs are *dropped*, not
+    deferred — near-identical vectors still meet in other bands unless hot
+    everywhere). Use ``lsh_bucket_stats`` to see what a cap drops before
+    committing to one. Default None = every bucket participates."""
+    comps = _collected_planes(embeddings, vec_col, n_bands * band_planes)
+    tagged = banded_lsh_tags(
+        embeddings, comps, n_bands, band_planes, id_col, vec_col)
+    if max_bucket_size is not None:
+        keep = (
+            tagged.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        tagged = tagged.join(keep, ["band", "bucket"])
     a = tagged.select(F.col("vec_id").alias("id_a"),
-                      F.col("embedding").alias("vec_a"), "bucket")
+                      F.col("embedding").alias("vec_a"), "band", "bucket")
     b = tagged.select(F.col("vec_id").alias("id_b"),
-                      F.col("embedding").alias("vec_b"), "bucket")
+                      F.col("embedding").alias("vec_b"), "band", "bucket")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        # threshold-then-dedup: cos is a pure pair function, so filtering
+        # before the multi-band dedup shuffles only surviving scalar rows
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
     )
