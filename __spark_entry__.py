@@ -581,6 +581,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint banding (4 bands x 4 bits) for
+    candidates, exact bit_count(xor) <= 3 verify — lossless for
+    max_hamming < n_bands (pigeonhole)."""
+    from waka_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, max_hamming=3)
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from waka_spark.operators.textstats import token_counts
 
@@ -646,8 +656,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decode feature extraction (mapInPandas; rows-only check — the
-    byte-histogram UDF has no SQL analog)."""
+    """Fake-decode feature extraction (mapInPandas byte histogram). The
+    testdata payloads are ASCII text bytes, so the DuckDB oracle recomputes
+    the same 16-bin histogram from character codes; bins 2/6/7 carry the
+    signal (space+punct / a-o / p-y)."""
     from waka_spark.operators.multimodal import (
         attach_binary_payload,
         decode_image_features,
@@ -657,7 +669,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_image_features(assets)
     return feats.select(
         "asset_id", "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("bin0"),
+        F.round(F.element_at("feature", 3), 6).alias("bin2"),
+        F.round(F.element_at("feature", 7), 6).alias("bin6"),
+        F.round(F.element_at("feature", 8), 6).alias("bin7"),
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6)
         .alias("feature_mass"),
     )
@@ -782,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1207,6 +1222,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
         """,
+        "dedup_simhash_pairs": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h
+              FROM words WHERE word <> ''
+            ),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+              FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            tagged AS (
+              SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS key
+              FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b
+            )
+            SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM tagged a JOIN tagged b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "text_token_counts": """
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
@@ -1383,8 +1428,30 @@ def oracle_sql() -> dict[str, str]:
                      AS total_frame_bytes
             FROM documents
         """,
-        # multimodal_features: no SQL analog (pandas-UDF byte histogram) —
-        # rows-only check by omission
+        # multimodal_features: testdata payloads are pure-ASCII text bytes
+        # (verified per sf dir), so byte == ascii(char) and the numpy
+        # 16-bin histogram over range(0,256) is bin = byte // 16
+        "multimodal_features": """
+            WITH chars AS (
+              SELECT doc_id, ascii(unnest(string_split(text, ''))) AS byte
+              FROM documents
+            ),
+            hist AS (
+              SELECT doc_id,
+                     count(*) AS total,
+                     count(CASE WHEN byte // 16 = 2 THEN 1 END) AS c2,
+                     count(CASE WHEN byte // 16 = 6 THEN 1 END) AS c6,
+                     count(CASE WHEN byte // 16 = 7 THEN 1 END) AS c7
+              FROM chars GROUP BY doc_id
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(total AS BIGINT) AS n_bytes,
+                   round(c2 / CAST(total AS DOUBLE), 6) AS bin2,
+                   round(c6 / CAST(total AS DOUBLE), 6) AS bin6,
+                   round(c7 / CAST(total AS DOUBLE), 6) AS bin7,
+                   CASE WHEN total > 0 THEN 1.0 ELSE 0.0 END AS feature_mass
+            FROM hist
+        """,
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*) AS n_events,

@@ -214,3 +214,22 @@ def test_embedding_bucket_cap_drops_hot_bucket(spark):
     stats = lsh_bucket_stats(emb, n_bands=2, band_planes=2)
     occupancies = sorted(r.n_vectors for r in stats.collect())
     assert occupancies == [2, 2, 20, 20]  # hot bucket visible pre-cap
+
+
+def test_simhash_pairs_lossless_banding(spark):
+    """simhash_pairs equals the brute-force Hamming-<=k pair set: banding
+    with max_hamming < n_bands is candidate-lossless (pigeonhole)."""
+    from waka_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    expect = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(docs, n_bands=4, max_hamming=3).collect()}
+    assert got == expect
+    assert expect, "fixture produced no near-dup pairs; test is vacuous"

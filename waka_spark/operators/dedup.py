@@ -202,7 +202,7 @@ def simhash(
 ) -> DataFrame:
     """(doc_id, simhash): bit-majority fingerprint over 16-bit word hashes
     (md5 leading nibbles → int, engine-portable). Near-dups differ in few
-    bits; pair generation pivots on fingerprint bands like MinHash."""
+    bits; ``simhash_pairs`` generates those pairs by fingerprint banding."""
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
@@ -226,4 +226,61 @@ def simhash(
         fingerprint = term if fingerprint is None else fingerprint + term
     return per_doc.select(
         "doc_id", fingerprint.cast("long").alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming) with fingerprint Hamming
+    distance ≤ ``max_hamming``.
+
+    Candidate generation pivots on fingerprint *bands* exactly like the
+    MinHash operator above: the ``bits``-bit fingerprint splits into
+    ``n_bands`` equal slices, docs colliding on ≥1 slice become candidates,
+    and an exact ``bit_count(xor)`` verifies. With
+    ``max_hamming < n_bands`` the banding is *lossless* (pigeonhole: ≤
+    ``n_bands - 1`` differing bits leave at least one band identical), so
+    this is the all-pairs Hamming join without the all-pairs cross join —
+    the Manku/Jain/Sarma WWW'07 rotate-and-band scheme expressed as an
+    equi-join.
+    """
+    assert bits % n_bands == 0, "bits must split evenly into bands"
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    fp = simhash(df, id_col, text_col, bits)
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * band_width)
+            .bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(n_bands)
+    ])
+    tagged = fp.select(
+        "doc_id", "simhash", F.explode(band_keys).alias("_b")
+    ).select("doc_id", "simhash",
+             F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+    a = tagged.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("fp_a"), "band", "key")
+    b = tagged.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("fp_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # verify-then-dedup: hamming is a pure pair function, so only
+        # surviving scalar rows reach the multi-band dedup shuffle
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
     )
