@@ -189,3 +189,33 @@ def test_transformer_re_fake_generate(spark):
     assert (t.conv_id, t.subj_text, t.subj_type, t.pred_text,
             t.obj_text, t.obj_type) == (
         "c1", "Walter Gropius", "per", "founded by", "Bauhaus", "org")
+
+
+def test_aho_rule_extraction_matches_contains_join(spark):
+    """aho_relation_extraction == rule_relation_extraction output on the
+    bauhaus fixture and on a doc set with overlapping/repeated surfaces."""
+    from waka_spark.operators.relations import (
+        aho_relation_extraction,
+        rule_relation_extraction,
+    )
+
+    pipe = bauhaus_pipeline(spark)
+    docs = pipe.documents(fx.bauhaus_transcripts(spark))
+    rules = fx.rules_df(spark)
+
+    key = lambda r: (r.conv_id, r.subj_text, r.pred_text, r.obj_text)  # noqa: E731
+    sql_out = sorted(map(key, rule_relation_extraction(docs, rules).collect()))
+    aho_out = sorted(map(key, aho_relation_extraction(docs, rules).collect()))
+    assert sql_out == aho_out and sql_out
+
+    tricky = spark.createDataFrame(
+        [("t1", "aa aab ab b"), ("t2", "nothing"), ("t3", "ab aa ab aa ab")],
+        "conv_id string, text string",
+    )
+    tricky_rules = spark.createDataFrame(
+        [("aa", "p1", "ab"), ("aab", "p2", "b"), ("zz", "p3", "aa")],
+        "subj_surface string, pred_text string, obj_surface string",
+    )
+    sql_out = sorted(map(key, rule_relation_extraction(tricky, tricky_rules).collect()))
+    aho_out = sorted(map(key, aho_relation_extraction(tricky, tricky_rules).collect()))
+    assert sql_out == aho_out and len(sql_out) == 3

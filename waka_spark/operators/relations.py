@@ -67,6 +67,61 @@ def rule_relation_extraction(documents: DataFrame, rules: DataFrame) -> DataFram
     )
 
 
+_AHO_CACHE: dict[str, object] = {}
+
+
+def aho_relation_extraction(documents: DataFrame, rules: DataFrame) -> DataFrame:
+    """``rule_relation_extraction`` semantics at scan cost independent of
+    the rule count: one Aho–Corasick pass per document finds every rule
+    surface present (functions/aho.py — the same automaton the gazetteer
+    NER uses), then rules whose subject AND object surfaces both occur
+    fire. Identical output to the double-``contains`` theta join (pinned by
+    test), but the per-document work is O(len(text) + matches) instead of
+    O(len(text) * n_rules) string scans — the right shape when the rule
+    table grows past a few dozen entries.
+
+    The rules table is collected at plan build (it is a broadcast-sized
+    dictionary, like the reference's in-process rule set); the automaton
+    builds once per executor worker via a module-level cache.
+    """
+    rule_list = [
+        (r["subj_surface"], r["pred_text"], r["obj_surface"])
+        for r in rules.collect()
+    ]
+    surfaces = sorted({s for s, _, o in rule_list} | {o for _, _, o in rule_list})
+    cache_key = "|".join(surfaces)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from waka_spark.functions.aho import AhoCorasick
+
+        if cache_key not in _AHO_CACHE:  # once per executor worker
+            _AHO_CACHE[cache_key] = AhoCorasick(surfaces)
+        auto = _AHO_CACHE[cache_key]
+
+        for pdf in batches:
+            rows = []
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                present = {pat for _, _, pat in auto.finditer(text or "")}
+                for subj, pred, obj in rule_list:
+                    if subj in present and obj in present:
+                        rows.append({
+                            "conv_id": conv_id,
+                            "subj_text": subj, "subj_type": None,
+                            "pred_text": pred,
+                            "obj_text": obj, "obj_type": None,
+                        })
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "subj_text", "subj_type",
+                         "pred_text", "obj_text", "obj_type"],
+            )
+
+    return (
+        documents.select("conv_id", "text").mapInPandas(extract, RAW_TRIPLE_COLS)
+        .dropDuplicates(["conv_id", "subj_text", "pred_text", "obj_text"])
+    )
+
+
 # --------------------------------------------------------------- decoders
 
 _SPECIALS = ("<s>", "<pad>", "</s>", "tp_XX", "__en__")

@@ -30,7 +30,10 @@ from waka_spark.operators.fusion import fuse_triples
 from waka_spark.operators.linking import link_entities
 from waka_spark.operators.ner import gazetteer_ner, regex_literal_ner, union_mentions
 from waka_spark.operators.rel_linking import link_predicates
-from waka_spark.operators.relations import rule_relation_extraction
+from waka_spark.operators.relations import (
+    aho_relation_extraction,
+    rule_relation_extraction,
+)
 from waka_spark.operators.rerank import rerank_candidates, split_sentences
 
 
@@ -49,6 +52,10 @@ class KGPipeline:
     extra_scorer: Callable[[DataFrame], DataFrame] | None = None
     use_scorers: bool = True
     use_rerank: bool = True
+    # rule-RE backend: the Aho-Corasick pass costs O(text) per document
+    # regardless of rule count (identical output; see relations.py) —
+    # flip on when the rule table grows past a few dozen entries
+    use_aho_rules: bool = False
     cfg: EngineConfig = field(default_factory=lambda: DEFAULT)
 
     # ---- stages (each returns a DataFrame; all lazy) -----------------------
@@ -87,6 +94,8 @@ class KGPipeline:
         return cluster_entities(candidates)
 
     def raw_triples(self, documents: DataFrame) -> DataFrame:
+        if self.use_aho_rules:
+            return aho_relation_extraction(documents, self.rules)
         return rule_relation_extraction(documents, self.rules)
 
     def linked_triples(self, raw_triples: DataFrame) -> DataFrame:
