@@ -425,6 +425,33 @@ def q_kg_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_eval_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26 at corpus scale — one P/R/F1 row per conversation (the frame the
+    macro average pools), exercising the full-join eval at |convs|
+    cardinality instead of 1 row (evaluate_kg_creation.py:21-44)."""
+    from waka_spark.operators.evals import eval_triples
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_partkey").cast("string").alias("subj_url"),
+        F.lit("p").alias("pred_url"),
+        F.col("l_suppkey").cast("string").alias("obj_url"),
+        "l_quantity", "l_discount",
+    )
+    computed = li.filter(F.col("l_quantity") > 25)
+    gold = li.filter(F.col("l_discount") > 0.05)
+    ev = eval_triples(computed, gold, per_doc_rows=True)
+    return ev.select(
+        "conv_id",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 # ensemble-NER fixture: two overlapping gazetteer backends; A outranks B on
 # the shared surface (entity_recognition.py:343-348 set-union priority)
 ENSEMBLE_A = [("spark", "TERM_A"), ("join", "TERM_A"), ("window", "TERM_A")]
@@ -787,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_unionfind": q_kg_unionfind,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_macro": q_kg_eval_macro,
+        "kg_eval_per_conv": q_kg_eval_per_conv,
         "kg_eval_mentions": q_kg_eval_mentions,
         "kg_eval_predicates": q_kg_eval_predicates,
         "kg_ensemble_union": q_kg_ensemble_union,
@@ -1089,6 +1117,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(r), 6) AS recall,
                    round(avg(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END), 6) AS f1,
                    CAST(sum(tp) AS BIGINT) tp, CAST(sum(fp) AS BIGINT) fp, CAST(sum(fn) AS BIGINT) fn
+            FROM prf
+        """,
+        "kg_eval_per_conv": """
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) conv_id,
+                     CAST(l_partkey AS VARCHAR) subj_url,
+                     CAST(l_suppkey AS VARCHAR) obj_url,
+                     l_quantity, l_discount
+              FROM lineitem
+            ),
+            comp AS (SELECT DISTINCT conv_id, subj_url, obj_url FROM base WHERE l_quantity > 25),
+            gold AS (SELECT DISTINCT conv_id, subj_url, obj_url FROM base WHERE l_discount > 0.05),
+            per_doc AS (
+              SELECT coalesce(c.conv_id, g.conv_id) conv_id,
+                     count(c.subj_url) AS n_comp_rows,
+                     count(g.subj_url) AS n_gold_rows,
+                     count(CASE WHEN c.subj_url IS NOT NULL AND g.subj_url IS NOT NULL THEN 1 END) AS tp
+              FROM comp c FULL JOIN gold g
+                ON c.conv_id = g.conv_id AND c.subj_url = g.subj_url AND c.obj_url = g.obj_url
+              GROUP BY 1
+            ),
+            prf AS (
+              SELECT conv_id, tp,
+                     n_comp_rows - tp AS fp, n_gold_rows - tp AS fn,
+                     CASE WHEN n_comp_rows > 0 THEN tp / CAST(n_comp_rows AS DOUBLE) ELSE 0.0 END AS p,
+                     CASE WHEN n_gold_rows > 0 THEN tp / CAST(n_gold_rows AS DOUBLE) ELSE 0.0 END AS r
+              FROM per_doc
+            )
+            SELECT conv_id,
+                   CAST(tp AS BIGINT) tp, CAST(fp AS BIGINT) fp, CAST(fn AS BIGINT) fn,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
             FROM prf
         """,
         "kg_eval_mentions": """

@@ -108,3 +108,18 @@ def test_checkpoint_partial_resume(spark, synth_small, tmp_path):
     want = sorted(map(tuple, fresh["triples"]
                       .select("subj_url", "pred_url", "obj_url").collect()))
     assert got == want
+
+
+def test_unionfind_long_chain_converges_fast(spark):
+    """A 300-node chain converges under a 20-round budget: pointer jumping
+    makes rounds O(log diameter), where plain min-propagation would need
+    ~300 rounds."""
+    from waka_spark.plans.unionfind import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(300)],
+        "src string, dst string",
+    )
+    got = connected_components(edges, max_iter=20).collect()
+    assert len(got) == 301
+    assert {r.component for r in got} == {"n0000"}

@@ -33,7 +33,8 @@ def _prf(tp: F.Column, fp: F.Column, fn: F.Column) -> list:
 
 
 def _eval_on_keys(
-    computed: DataFrame, gold: DataFrame, keys: list[str], macro: bool
+    computed: DataFrame, gold: DataFrame, keys: list[str], macro: bool,
+    per_doc_rows: bool = False,
 ) -> DataFrame:
     comp = computed.select("conv_id", *keys).distinct()
     gld = gold.select("conv_id", *keys).distinct()
@@ -54,12 +55,16 @@ def _eval_on_keys(
         .withColumn("fn", F.col("n_gold") - F.col("tp"))
     )
 
-    if macro:
+    if macro or per_doc_rows:
         per_doc_prf = per_doc.select(
             "conv_id",
             *_prf(F.col("tp").cast("double"), F.col("fp").cast("double"),
                   F.col("fn").cast("double")),
         )
+        if per_doc_rows:
+            # one row per conversation — the corpus-scale eval surface
+            # (macro averages these; this exposes the distribution)
+            return per_doc_prf
         return per_doc_prf.agg(
             F.avg("precision").alias("precision"),
             F.avg("recall").alias("recall"),
@@ -75,10 +80,18 @@ def _eval_on_keys(
     return pooled.select(*_prf(F.col("tp"), F.col("fp"), F.col("fn")))
 
 
-def eval_triples(computed: DataFrame, gold: DataFrame, macro: bool = False) -> DataFrame:
-    """P26 — KG eval over triple URL identity (kg.py:247-278)."""
+def eval_triples(
+    computed: DataFrame, gold: DataFrame, macro: bool = False,
+    per_doc_rows: bool = False,
+) -> DataFrame:
+    """P26 — KG eval over triple URL identity (kg.py:247-278).
+
+    ``per_doc_rows=True`` returns the per-conversation P/R/F1 frame (one
+    row per conv_id — what macro averages), the right surface when
+    evaluating a whole corpus rather than one request."""
     return _eval_on_keys(
-        computed, gold, ["subj_url", "pred_url", "obj_url"], macro
+        computed, gold, ["subj_url", "pred_url", "obj_url"], macro,
+        per_doc_rows,
     )
 
 

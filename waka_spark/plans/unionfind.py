@@ -6,14 +6,16 @@ isolated KG (kg_construction.py:267-282). At 10^12-turn scale the same
 real-world entity surfaces in millions of conversations; canonicalization
 groups equivalent node URLs and rewrites edges to canonical endpoints.
 
-Algorithm: iterative min-label propagation to fixpoint — each round every
-node adopts the minimum component label among itself and its neighbors
-(one join + one aggregation per round; converges in O(component diameter)
-rounds, which for same-as cliques is 1-2). Each round is
-``localCheckpoint``-ed to cut lineage growth (SURVEY.md §4). For adversarial
-long-chain graphs swap in the large-star/small-star contraction (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14) — same
-interface; chain graphs do not arise from same-as relations here.
+Algorithm: iterative min-label propagation with pointer jumping — each
+round every node adopts the minimum component label among itself and its
+neighbors (one join + one agg), then follows the label *of its label* (one
+more join — path halving). Labels are node ids, so the halving step
+compresses two hops per round: chains converge in O(log diameter) rounds
+instead of O(diameter), the same contraction idea as large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14). Same-as cliques still converge in 1-2 rounds. Each round is
+``localCheckpoint``-ed to cut lineage growth (SURVEY.md §4); a 300-node
+chain is pinned under a 20-round budget in tests/test_scale_machinery.py.
 
 Equivalence edges come from ``same_as_edges``: explicit owl:sameAs-style
 pairs (e.g. from the alias dictionary mapping multiple URLs to one QID), or
@@ -56,10 +58,25 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping (path halving): a label is itself a node id, so
+        # one self-join replaces each label with its label's label —
+        # comp(comp(x)) <= comp(x) stays inside x's component, and the
+        # reachable-minimum distance doubles per round
+        lbl_map = propagated.select(
+            F.col("node").alias("_m_node"), F.col("component").alias("_m_comp")
+        )
+        new_labels = (
+            propagated
+            .join(lbl_map, propagated["component"] == lbl_map["_m_node"], "left")
+            .select(
+                "node",
+                F.coalesce("_m_comp", "component").alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
