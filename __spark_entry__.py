@@ -51,10 +51,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _transcripts_view(documents: DataFrame) -> DataFrame:
-    """documents → transcripts(conv_id, turn_idx, role, text, tool, ts)."""
+    """documents → transcripts(conv_id, turn_idx, role, text, tool, ts).
+
+    Conversation modulus: 50 at the driver scales (<= 5000 docs, matching
+    the FIXTURES.md convention and the oracle SQL's ``doc_id % 50``), and
+    ``n_docs // 100`` beyond — so a 10x corpus means 10x *conversations*
+    (constant ~100 turns each), not 10x-longer conversations. Without this
+    the per-conversation stages (span windows, conflict resolution) blow up
+    quadratically on scaled benches — hot-key inflation, not a scale-up.
+    The count() is a parquet metadata read, not a scan."""
+    mod = max(50, documents.count() // 100)
     return documents.select(
-        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
-        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        (F.col("doc_id") % mod).cast("string").alias("conv_id"),
+        (F.col("doc_id") / mod).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         "text",
         F.lit(None).cast("string").alias("tool"),
@@ -709,23 +718,30 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived LSH sign buckets (operators/ann.embedding_cosine_pairs,
     2 bands x 3 planes) — banded bucket joins replace the all-pairs cross
     join at 10^9 vectors, with recall from the band OR."""
-    from waka_spark.operators.ann import embedding_cosine_pairs
+    from waka_spark.operators.ann import auto_band_planes, embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
-    return embedding_cosine_pairs(emb, threshold=0.2, n_bands=2, band_planes=3)
+    # planes-per-band scales with the corpus (~100 vectors/bucket target);
+    # floors at 3, so it equals the oracle SQL's 2x3 planes at the driver
+    # correctness scales (<= ~800 vectors) and keeps buckets bounded on
+    # larger benches (metadata-only count)
+    planes = auto_band_planes(emb.count())
+    return embedding_cosine_pairs(
+        emb, threshold=0.2, n_bands=2, band_planes=planes)
 
 
 def q_ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH approximate top-5 (operators/ann.lsh_bucket_ann,
     2 bands x 3 planes): candidates collide in >=1 band, dedup, rank."""
-    from waka_spark.operators.ann import lsh_bucket_ann
+    from waka_spark.operators.ann import auto_band_planes, lsh_bucket_ann
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return lsh_bucket_ann(emb, queries, n_bands=2, band_planes=3, k=5)
+    return lsh_bucket_ann(
+        emb, queries, n_bands=2, band_planes=auto_band_planes(emb.count()), k=5)
 
 
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,7 +1270,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
             sigs AS (
-              SELECT doc_id, band, min(md5(shingle || '#' || band)) AS sig
+              SELECT doc_id, band,
+                     min(substr(md5(shingle) || md5('#' || shingle),
+                                band * 8 + 1, 8)) AS sig
               FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bands
               GROUP BY doc_id, band
             )

@@ -73,7 +73,7 @@ def main() -> None:
     turns_per_sec = round(n_turns / timings["kg_e2e_triples"], 1)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
@@ -82,7 +82,48 @@ def main() -> None:
         "cpus": int(cpus),
         "kg_e2e_turns_per_sec": turns_per_sec,
         "kg_e2e_input_turns": n_turns,
-    }))
+    }
+
+    # second scale factor (sf x10): several sf0.1 queries are
+    # overhead-dominated, so regressions hide; re-run the scale-sensitive
+    # subset on locally scaled data (key-shifted 10x replication of the
+    # driver testdata — waka_spark.synth.scale_testdata). Generated once,
+    # reused across runs; never allowed to break the primary output.
+    if os.environ.get("WAKA_BENCH_SF1", "1") == "1" and abs(sf - 0.1) < 1e-9:
+        try:
+            sf1_dir = os.environ.get("WAKA_SF1_DIR", "/tmp/waka_sf1")
+            if not os.path.isdir(f"{sf1_dir}/lineitem.parquet"):
+                from waka_spark.synth import scale_testdata
+                scale_testdata(spark, sf_dir, sf1_dir, factor=10)
+            sf1_subset = [
+                "kg_e2e_triples", "kg_mention_link", "kg_clustering_argmax",
+                "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                "dedup_embedding_cosine", "dedup_simhash_pairs",
+                "tpch_q1", "tpch_q3_top10",
+            ]
+            sf1_budget = float(os.environ.get("WAKA_SF1_BUDGET", "600"))
+            sf1_start = time.time()
+            sf1_timings: dict[str, float] = {}
+            for name in sf1_subset:
+                if time.time() - sf1_start > sf1_budget:
+                    payload["sf1_skipped_over_budget"] = [
+                        q for q in sf1_subset if q not in sf1_timings]
+                    break
+                t0 = time.time()
+                qs[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite").save()
+                sf1_timings[name] = round(time.time() - t0, 3)
+            sf1_turns = spark.read.parquet(
+                f"{sf1_dir}/documents.parquet").count()
+            payload["sf1_queries"] = sf1_timings
+            payload["sf1"] = 1.0
+            payload["sf1_kg_e2e_turns_per_sec"] = round(
+                sf1_turns / sf1_timings["kg_e2e_triples"], 1)
+            payload["sf1_input_turns"] = sf1_turns
+        except Exception as e:  # pragma: no cover - never break the bench
+            payload["sf1_error"] = repr(e)[:200]
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

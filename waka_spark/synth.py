@@ -219,3 +219,58 @@ def synth_gold_triples(
         .select("conv_id", "subj_url", "pred_url", "obj_url")
         .distinct()
     )
+
+
+def scale_testdata(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> None:
+    """Replicate the driver testdata ``factor``x with key-domain shifts, so
+    larger scale factors exist locally (sf0.1 x10 ≈ sf1) without external
+    data. Each replica i shifts every key column by i * (domain max + 1),
+    keeping joins (orders↔customer↔lineitem, part/supplier refs) and
+    per-key group cardinalities realistic — the row count grows 10x, the
+    number of orders/customers/documents grows 10x, per-group sizes stay
+    constant (a true scale-up, not hot-key inflation). nation/region are
+    dimensions and copy through unchanged.
+    """
+    shifted_cols = {
+        "documents": {"doc_id": ("documents", "doc_id")},
+        "embeddings": {"vec_id": ("embeddings", "vec_id")},
+        "orders": {"o_orderkey": ("orders", "o_orderkey"),
+                   "o_custkey": ("customer", "c_custkey")},
+        "customer": {"c_custkey": ("customer", "c_custkey")},
+        "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+        "part": {"p_partkey": ("part", "p_partkey")},
+        "lineitem": {"l_orderkey": ("orders", "o_orderkey"),
+                     "l_partkey": ("part", "p_partkey"),
+                     "l_suppkey": ("supplier", "s_suppkey")},
+        "events": {"event_id": ("events", "event_id"),
+                   "user_id": ("events", "user_id")},
+    }
+    # one tiny max() scan per key domain
+    domain_span: dict[tuple[str, str], int] = {}
+    for table, cols in shifted_cols.items():
+        for dom in cols.values():
+            if dom not in domain_span:
+                dom_table, dom_col = dom
+                mx = (
+                    spark.read.parquet(f"{src_dir}/{dom_table}.parquet")
+                    .agg(F.max(dom_col)).first()[0]
+                )
+                domain_span[dom] = int(mx) + 1
+
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(factor - 1))
+    ).alias("_rep")
+    for table in ("region", "nation", *shifted_cols):
+        df = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        if table in shifted_cols:
+            out = df.select("*", reps)
+            for col, dom in shifted_cols[table].items():
+                out = out.withColumn(
+                    col, F.col(col) + F.col("_rep") * F.lit(domain_span[dom])
+                )
+            out = out.drop("_rep")
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{table}.parquet")
