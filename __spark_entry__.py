@@ -603,6 +603,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded near-dup pairs: shingles appearing in >20 docs are
+    dropped *before* the candidate equi-join (the 100-TB guard against
+    stopword-shingle fan-out — a shingle in f docs contributes f^2 join
+    rows; Jaccard is recomputed over the surviving shingle sets on both
+    engines, so the guard itself is oracle-checked)."""
+    from waka_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_shingle_freq=20)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy dedup: 3-gram Jaccard pairs → connected components
+    (plans/unionfind.py) → canonical doc per cluster; every doc keeps a row
+    with (canonical_id, cluster_size, is_canonical). Oracle = DuckDB
+    recursive-CTE transitive closure over the same pair SQL."""
+    from waka_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.8))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding: pairs colliding in >=1 of 8 band buckets."""
     from waka_spark.operators.dedup import minhash_lsh_pairs
@@ -744,6 +767,20 @@ def q_ann_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, n_bands=2, band_planes=auto_band_planes(emb.count()), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 (operators/ann.ivf_topk, 16 cells,
+    4 probes): corpus partitioned into Voronoi cells around a deterministic
+    codebook, queries scan only their 4 closest cells — the
+    deterministic-fraction complement of the LSH path."""
+    from waka_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(emb, queries, n_cells=16, n_probe=4, k=5)
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the Structured Streaming windowed-agg
     semantics, run in batch mode over events)."""
@@ -838,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_sink": q_kg_rdf_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_guarded": q_dedup_ngram_jaccard_guarded,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -849,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_banded_topk": q_ann_banded_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1267,6 +1307,55 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
             WHERE n_common / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8
         """,
+        "dedup_ngram_jaccard_guarded": f"""
+            WITH {_SHINGLES_CTE},
+            keep AS (
+              SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 20
+            ),
+            sg AS (SELECT s.doc_id, s.shingle FROM s JOIN keep USING (shingle)),
+            sz AS (SELECT doc_id, count(*) n FROM sg GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) AS n_common
+              FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   round(n_common / CAST(x.n + y.n - n_common AS DOUBLE), 6) AS jaccard
+            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+            WHERE n_common / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) AS n_common
+              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE n_common / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8
+            ),
+            sym AS (
+              SELECT doc_a a, doc_b b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s2.a, r.comp FROM sym s2 JOIN reach r ON s2.b = r.node
+            ),
+            canon AS (SELECT node, min(comp) AS canonical FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   COALESCE(c.canonical, d.doc_id) AS canonical_id,
+                   count(*) OVER (
+                     PARTITION BY COALESCE(c.canonical, d.doc_id)
+                   ) AS cluster_size,
+                   CAST(d.doc_id = COALESCE(c.canonical, d.doc_id) AS INT)
+                     AS is_canonical
+            FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
+        """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
             sigs AS (
@@ -1457,6 +1546,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
               FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+            ),
+            sims AS (
+              SELECT e.vec_id, e.v, c.cell,
+                     round(list_dot_product(e.v, c.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+              FROM e CROSS JOIN cents c
+            ),
+            corp AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS q_id, v AS q_vec, cell FROM (
+                SELECT vec_id, v, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims WHERE vec_id < 3
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT p.q_id, c.vec_id,
+                     round(list_dot_product(c.v, p.q_vec)
+                           / (sqrt(list_dot_product(c.v, c.v))
+                              * sqrt(list_dot_product(p.q_vec, p.q_vec))), 6) AS cos
+              FROM probes p JOIN corp c USING (cell)
+              WHERE c.vec_id <> p.q_id
+            )
+            SELECT q_id, vec_id, cos, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM cand
             ) WHERE rank <= 5
         """,
         "ann_cosine_topk": """

@@ -233,3 +233,68 @@ def test_simhash_pairs_lossless_banding(spark):
            for r in simhash_pairs(docs, n_bands=4, max_hamming=3).collect()}
     assert got == expect
     assert expect, "fixture produced no near-dup pairs; test is vacuous"
+
+
+def test_ngram_jaccard_skew_guard(spark):
+    """Boilerplate shingles shared by >max_shingle_freq docs carry no dedup
+    signal and must be dropped before the candidate join."""
+    from waka_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "standard header text repeated in every single document here"
+    docs = _docs(spark, [f"{boiler} unique tail {i}" for i in range(6)])
+    unguarded = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(unguarded) == 15  # all pairs look similar via boilerplate
+    guarded = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_freq=4).collect()
+    assert guarded == []  # boilerplate dropped; tails share nothing
+
+
+def test_dedup_clusters(spark):
+    from waka_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [base, base + " yes", base + " no",
+                         "completely different words everywhere here"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(rows) == 4  # every doc keeps a row
+    assert [rows[i].canonical_id for i in range(4)] == [0, 0, 0, 3]
+    assert [rows[i].cluster_size for i in range(4)] == [3, 3, 3, 1]
+    assert [rows[i].is_canonical for i in range(4)] == [True, False, False, True]
+
+
+def test_sparknlp_backend_gated(spark):
+    import pytest
+
+    from waka_spark.operators.transformer_backends import sparknlp_ner
+
+    with pytest.raises(NotImplementedError, match="sparknlp"):
+        sparknlp_ner(None)
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    from waka_spark.operators.ann import (
+        cosine_topk, ivf_assign, ivf_centroids, ivf_topk)
+
+    centers = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]
+    rows, vid = [], 0
+    for _ in range(8):
+        for c in centers:
+            v = [x + 0.01 * ((vid * 7 + d) % 5) for d, x in enumerate(c)]
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+
+    # every corpus vector lands in exactly one cell
+    assigned = ivf_assign(emb, ivf_centroids(emb, n_cells=3)).collect()
+    assert len(assigned) == 24
+    assert {r.cell for r in assigned} <= {0, 1, 2}
+
+    # tight clusters + probe-own-cell: IVF top-3 == exact top-3
+    ivf = ivf_topk(emb, queries, n_cells=3, n_probe=1, k=3).collect()
+    exact = cosine_topk(emb, queries, k=3).collect()
+    key = lambda r: (r.q_id, r.rank)
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+    assert len({key(r) for r in ivf}) == 9

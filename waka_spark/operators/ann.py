@@ -294,3 +294,113 @@ def embedding_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.max("cos").alias("cos"))
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Column:
+    """IVF codebook as an array<array<double>> literal: the embeddings of
+    the ``n_cells`` lowest ids. A deterministic data-derived coarse
+    quantizer — no RNG/training loop to ship, and the DuckDB oracle
+    recomputes it bit-for-bit; production swaps in offline k-means
+    centroids through the exact same plan (the codebook is a broadcast
+    literal either way — n_cells rows collected once at plan build, like
+    ``_collected_planes``)."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col).limit(n_cells).collect()
+    )
+    return F.array(*[
+        F.lit(list(r[1])).cast("array<double>") for r in rows
+    ])
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """argmax-cosine cell assignment, computed narrow (one projection per
+    row, no shuffle). Ties on the rounded similarity go to the lowest cell
+    index (``array_position`` returns the first match)."""
+    vec = F.col(vec_col)
+    sims = F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("embedding"),
+        (F.array_position(sims, F.array_max(sims)) - 1)
+        .cast("int").alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``n_cells``
+    Voronoi cells around the codebook, scan only each query's ``n_probe``
+    closest cells.
+
+    The complement of the LSH path one screen up: LSH bounds bucket size
+    probabilistically (planes × bands), IVF bounds scanned *fraction*
+    deterministically (n_probe / n_cells of the corpus per query) and
+    keeps each corpus vector in exactly one cell — so candidate pairs are
+    unique by construction (no multi-band dedup shuffle) and cells map
+    onto partition-pruned storage (write the assignment partitioned by
+    ``cell``; a probe then reads n_probe files, the classic IVF layout at
+    10^9-vector scale). Recall knob: n_probe (more cells scanned), not
+    bucket geometry."""
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    corp = ivf_assign(embeddings, cents, id_col, vec_col)
+
+    # normalize names first: the probe expression must not reference an
+    # alias minted in the same select (lateral-alias refs can't sit under
+    # an explode)
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))
+    qvec = F.col("q_vec")
+    qsims = F.transform(cents, lambda c: F.round(cosine(qvec, c), 6))
+    # (sim desc, cell asc) probe order: sort struct<-sim, cell> ascending
+    probe_structs = F.slice(
+        F.array_sort(
+            F.zip_with(
+                qsims,
+                F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda s, c: F.struct(
+                    (-s).alias("neg_sim"), c.cast("int").alias("cell")
+                ),
+            )
+        ),
+        1, n_probe,
+    )
+    probes = (
+        q.select("q_id", "q_vec", F.explode(probe_structs).alias("_p"))
+        .select("q_id", "q_vec", F.col("_p.cell").alias("cell"))
+    )
+
+    scored = (
+        corp.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("embedding"), F.col("q_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

@@ -300,3 +300,53 @@ def simhash_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("hamming").alias("hamming"))
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one-copy step: near-dup pairs → clusters → canonical doc.
+
+    ``pairs(doc_a, doc_b)`` from any candidate generator in this module
+    become equivalence edges; connected components (plans/unionfind.py,
+    pointer-jumping min-label propagation) give every member the minimum
+    doc id of its cluster, and docs in no pair stay singleton clusters.
+    Output: one row per input doc — ``(id_col, canonical_id, cluster_size,
+    is_canonical)``; filtering ``is_canonical`` materializes the
+    deduplicated corpus.
+
+    Scale: components converge in O(log diameter) rounds over the
+    (typically tiny relative to the corpus) pair set; the full-corpus cost
+    is one left join on the id plus one shuffle on ``canonical_id`` for the
+    size count.
+    """
+    from waka_spark.plans.unionfind import connected_components
+
+    comp = (
+        connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+        )
+        .withColumnRenamed("node", id_col)
+    )
+    labeled = (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    w = Window.partitionBy("canonical_id")
+    return (
+        labeled
+        .withColumn("cluster_size", F.count("*").over(w))
+        # int not boolean: engine-portable (value-hash oracles normalize
+        # numpy vs Python bools differently)
+        .withColumn(
+            "is_canonical",
+            (F.col(id_col) == F.col("canonical_id")).cast("int"),
+        )
+    )

@@ -232,3 +232,28 @@ def nli_triple_scorer(
         )
 
     return score
+
+
+def sparknlp_ner(
+    documents: DataFrame,
+    model_name: str = "onto_100",
+) -> DataFrame:
+    """P5 — Spark NLP NER backend slot, intentionally a gated stub.
+
+    The reference itself ships this backend disabled
+    (entity_recognition.py:264-304 defines it, :337 comments it out of the
+    ensemble) because its annotations regressed quality; parity therefore
+    means *acknowledging the slot*, not wiring it in. If a deployment wants
+    it anyway: Spark NLP is a JVM library, so the idiomatic integration is
+    not a Python UDF at all — add the spark-nlp jar + a
+    ``DocumentAssembler → Tokenizer → NerDLModel → NerConverter`` ML
+    pipeline stage and map its chunk annotations onto the MENTIONS schema,
+    then drop the result into ``union_mentions`` like any other backend.
+    """
+    _require(
+        "sparknlp",
+        "the reference disables this backend too "
+        "(entity_recognition.py:337); use hf_token_classification_ner or "
+        "the deterministic backends",
+    )
+    raise NotImplementedError("unreachable")  # pragma: no cover
