@@ -47,3 +47,24 @@ def test_matches_regex_reference(patterns, text):
             if text[i:i + len(p)] == p:
                 expected.add((i, i + len(p), p))
     assert got == expected
+
+
+def test_find_scanner_equivalent_to_automaton():
+    """make_scanner's small-set FindScanner must yield the exact occurrence
+    set (incl. overlapping and self-overlapping matches) of the automaton."""
+    from waka_spark.functions.aho import AhoCorasick, FindScanner, make_scanner
+
+    pats = ["Weimar", "Weimarer", "Bauhaus-Universität Weimar", "aa", "a"]
+    texts = [
+        "Weimar and Weimarer and xWeimar",
+        "Bauhaus-Universität Weimar in Weimar",
+        "aaaa b aa",
+        "",
+        "no hits here",
+    ]
+    ac, fs = AhoCorasick(pats), FindScanner(pats)
+    for t in texts:
+        assert sorted(ac.finditer(t)) == sorted(fs.finditer(t)), t
+        assert ac.present(t) == fs.present(t), t
+    assert isinstance(make_scanner(pats), FindScanner)
+    assert isinstance(make_scanner([f"p{i}" for i in range(5000)]), AhoCorasick)

@@ -167,3 +167,26 @@ def test_rerank_shapes_agree_and_guard_missing_sentence(spark):
     assert ("c1", 0, 6, "Q4") not in ns          # thresholded out
     # "Weimar is a city." contains both tokens of "Weimar city" -> sim 1.0
     assert ns[("c1", 0, 6, "Q1")] == 0.5
+
+
+def test_fused_ner_identical_to_union_composition(spark):
+    """deterministic_ner_fused must be bit-identical to the two-backend
+    union it replaces in the pipeline hot path."""
+    from waka_spark.operators.ner import deterministic_ner_fused
+    from waka_spark.sources import fixtures as fx
+
+    docs = _docs(spark, [
+        ("c1", fx.load_bauhaus_text()),
+        ("c2", "In 1919 it had 4000 students and 27% growth."),
+        ("c3", "Weimar and Weimarer and xWeimar in 1919."),
+        ("c4", ""),
+    ])
+    # ("1919", "ORG") collides span-for-span with the regex DATE mention —
+    # the fused pass must keep the gazetteer row, like union_mentions does
+    gaz = list(fx.BAUHAUS_GAZETTEER) + [("Weimar", "GPE"), ("1919", "ORG")]
+    fused = deterministic_ner_fused(docs, gaz)
+    composed = union_mentions(gazetteer_ner(docs, gaz), regex_literal_ner(docs))
+    key = lambda r: (r["conv_id"], r["start_idx"], r["end_idx"])
+    f_rows = sorted(map(tuple, fused.collect()))
+    c_rows = sorted(map(tuple, composed.collect()))
+    assert f_rows == c_rows and len(f_rows) > 20

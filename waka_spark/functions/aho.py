@@ -66,6 +66,10 @@ class AhoCorasick:
                 for pat in self.out[state]:
                     yield end - len(pat), end, pat
 
+    def present(self, text: str) -> set[str]:
+        """Patterns occurring anywhere in text."""
+        return {pat for _, _, pat in self.finditer(text)}
+
 
 def _is_word_char(ch: str) -> bool:
     return ch.isalnum() or ch == "_"
@@ -79,3 +83,44 @@ def word_bounded(text: str, start: int, end: int) -> bool:
     if end < len(text) and _is_word_char(text[end - 1]) and _is_word_char(text[end]):
         return False
     return True
+
+
+class FindScanner:
+    """Exact drop-in for :class:`AhoCorasick` on SMALL pattern sets.
+
+    One C-speed ``str.find`` sweep per pattern (CPython's two-way search
+    runs at ~GB/s) instead of one pure-Python automaton pass per *char*
+    (~MB/s with dict lookups): for a 200-surface gazetteer this is ~10x
+    per document, and the engine's mapInPandas scans are exactly that
+    shape. The automaton keeps winning asymptotically — one pass
+    regardless of pattern count — so ``make_scanner`` crosses over at
+    ``SMALL_PATTERN_SET``. Yields the same (start, end, pattern)
+    occurrence *set* (including overlaps); iteration order differs
+    (by-pattern here, by-position there), which no consumer depends on.
+    """
+
+    __slots__ = ("patterns",)
+
+    def __init__(self, patterns: Iterable[str]):
+        self.patterns = [p for p in dict.fromkeys(patterns) if p]
+
+    def finditer(self, text: str) -> Iterator[tuple[int, int, str]]:
+        for pat in self.patterns:
+            start = text.find(pat)
+            while start != -1:
+                yield start, start + len(pat), pat
+                start = text.find(pat, start + 1)
+
+    def present(self, text: str) -> set[str]:
+        """Patterns occurring in text — early-exits per pattern (``in``)."""
+        return {p for p in self.patterns if p in text}
+
+
+SMALL_PATTERN_SET = 2048
+
+
+def make_scanner(patterns: Iterable[str]):
+    """Pattern-count-adaptive multi-string scanner (same finditer/present
+    contract either way)."""
+    pats = [p for p in dict.fromkeys(patterns) if p]
+    return FindScanner(pats) if len(pats) <= SMALL_PATTERN_SET else AhoCorasick(pats)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from waka_spark.config import DATE_TYPES, DECIMAL_TYPES
-from waka_spark.functions.aho import AhoCorasick, word_bounded
+from waka_spark.functions.aho import make_scanner, word_bounded
 from waka_spark.functions.literals import encode_literal
 
 MENTION_COLS = "conv_id string, start_idx int, end_idx int, text string, e_type string, url string"
@@ -54,11 +54,11 @@ def gazetteer_ner(
     """
     type_of = {s: t for s, t in gazetteer}
     surfaces = list(type_of)
-    automaton_cell: list[AhoCorasick] = []
+    automaton_cell: list = []
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not automaton_cell:  # per-executor lazy build
-            automaton_cell.append(AhoCorasick(surfaces))
+            automaton_cell.append(make_scanner(surfaces))
         ac = automaton_cell[0]
         for pdf in batches:
             out = {k: [] for k in
@@ -195,3 +195,61 @@ def merge_token_runs(
         )
     )
     return singles.unionByName(prefixes)
+
+
+def deterministic_ner_fused(
+    documents: DataFrame, gazetteer: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """``union_mentions(gazetteer_ner(d, g), regex_literal_ner(d))`` in ONE
+    Arrow pass — bit-identical output, pinned by tests/test_ner_linking.py.
+
+    Why it exists: document text is the bulk of the bytes, and the
+    two-backend composition ships it to Python *twice* and then pays a
+    full-corpus ``row_number`` shuffle just to dedup exact-span collisions.
+    Both backends emit unique spans per document (the automaton yields each
+    (start, end) once; the regex scanner dedups in a dict), so the
+    priority-ordered union is equivalent to an in-UDF dict insert —
+    gazetteer first, literals only into vacant spans — and needs no
+    shuffle at all. At 10^12 turns this removes one full pass of the
+    corpus through Arrow plus one all-mentions exchange.
+
+    The generic ``union_mentions`` stays for heterogeneous ensembles
+    (transformer backends can emit overlapping duplicates across workers).
+    """
+    type_of = {s: t for s, t in gazetteer}
+    surfaces = list(type_of)
+    automaton_cell: list = []
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not automaton_cell:
+            automaton_cell.append(make_scanner(surfaces))
+        ac = automaton_cell[0]
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("conv_id", "start_idx", "end_idx", "text", "e_type", "url")}
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if not text:
+                    continue
+                spans: dict[tuple[int, int], tuple[str, str]] = {}
+                for start, end, surface in ac.finditer(text):
+                    if word_bounded(text, start, end):
+                        spans[(start, end)] = (surface, type_of[surface])
+                for m in _YEAR_RE.finditer(text):
+                    spans.setdefault(
+                        (m.start(), m.end()), (m.group(0), "DATE"))
+                for m in _NUMBER_RE.finditer(text):
+                    key = (m.start(), m.end())
+                    if key not in spans:
+                        e_type = ("PERCENT" if m.group(0).endswith("%")
+                                  else "CARDINAL")
+                        spans[key] = (m.group(0), e_type)
+                for (s, e), (surface, e_type) in spans.items():
+                    out["conv_id"].append(conv_id)
+                    out["start_idx"].append(s)
+                    out["end_idx"].append(e)
+                    out["text"].append(surface)
+                    out["e_type"].append(e_type)
+                    out["url"].append(encode_literal(surface, e_type))
+            yield pd.DataFrame(out) if out["conv_id"] else _EMPTY_MENTIONS
+
+    return documents.select("conv_id", "text").mapInPandas(scan, MENTION_COLS)

@@ -92,16 +92,16 @@ def aho_relation_extraction(documents: DataFrame, rules: DataFrame) -> DataFrame
     cache_key = "|".join(surfaces)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from waka_spark.functions.aho import AhoCorasick
+        from waka_spark.functions.aho import make_scanner
 
         if cache_key not in _AHO_CACHE:  # once per executor worker
-            _AHO_CACHE[cache_key] = AhoCorasick(surfaces)
+            _AHO_CACHE[cache_key] = make_scanner(surfaces)
         auto = _AHO_CACHE[cache_key]
 
         for pdf in batches:
             rows = []
             for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
-                present = {pat for _, _, pat in auto.finditer(text or "")}
+                present = auto.present(text or "")
                 for subj, pred, obj in rule_list:
                     if subj in present and obj in present:
                         rows.append({

@@ -28,7 +28,12 @@ from waka_spark.operators.clustering import cluster_entities
 from waka_spark.operators.conflicts import apply_conflict_resolution
 from waka_spark.operators.fusion import fuse_triples
 from waka_spark.operators.linking import link_entities
-from waka_spark.operators.ner import gazetteer_ner, regex_literal_ner, union_mentions
+from waka_spark.operators.ner import (
+    deterministic_ner_fused,
+    gazetteer_ner,
+    regex_literal_ner,
+    union_mentions,
+)
 from waka_spark.operators.rel_linking import link_predicates
 from waka_spark.operators.relations import (
     aho_relation_extraction,
@@ -64,7 +69,16 @@ class KGPipeline:
         return assemble_documents(transcripts)
 
     def mentions(self, documents: DataFrame) -> DataFrame:
-        # ensemble of deterministic backends; priority order = arg order (P6)
+        # deterministic ensemble as ONE Arrow pass: bit-identical to
+        # union_mentions(gazetteer_ner, regex_literal_ner) (pinned by
+        # tests/test_ner_linking.py) but ships the corpus text to Python
+        # once and skips the exact-span dedup shuffle. Heterogeneous
+        # ensembles (transformer backends) override this method with
+        # union_mentions(...); priority order = arg order (P6).
+        return deterministic_ner_fused(documents, self.gazetteer)
+
+    def mentions_unfused(self, documents: DataFrame) -> DataFrame:
+        # the generic composition the fused pass is pinned against
         return union_mentions(
             gazetteer_ner(documents, self.gazetteer),
             regex_literal_ner(documents),
