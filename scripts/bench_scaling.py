@@ -59,6 +59,13 @@ def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
     from waka_spark.plans.pipeline import KGPipeline
     from waka_spark.session import get_spark
 
+    # NOTE on JVM pools: GC/JIT threads size themselves to the HOST's 32
+    # vCPUs at every level. Pinning them per level with
+    # -XX:ActiveProcessorCount=N was measured (round 2 profiling) and NOT
+    # adopted: it slowed local[8] (64g heap, 8 GC threads) more than
+    # local[2], i.e. it over-penalizes the larger level on this
+    # hypervisor-noisy guest; the unpinned config also keeps round-over-
+    # round comparability of the recorded evidence.
     spark = get_spark(
         f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )

@@ -1,0 +1,44 @@
+"""HTTP demo endpoint (waka_spark/serve.py) — reference serve.py:46-64
+parity: POST text in, JSON knowledge graph out, over the same KGPipeline
+the batch path runs."""
+
+import json
+import urllib.error
+import urllib.request
+
+
+def test_kg_service_http_roundtrip(spark):
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.serve import KGService, start_server
+    from waka_spark.sources.fixtures import load_bauhaus_text
+
+    server = start_server(KGService(spark, bauhaus_pipeline(spark)))
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health") as r:
+            assert json.load(r) == {"status": "ok"}
+
+        body = json.dumps(
+            {"text": load_bauhaus_text(), "conv_id": "bh"}).encode()
+        req = urllib.request.Request(
+            f"{base}/kg", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            kg = json.load(r)
+        assert kg["conv_id"] == "bh"
+        assert kg["triples"] and kg["entities"]
+        t = kg["triples"][0]
+        assert set(t) == {"subject", "predicate", "object", "score", "id_"}
+        assert {"url", "label"} <= set(t["subject"])
+        urls = {e["url"] for e in kg["entities"]}
+        assert any("wikidata" in (u or "") for u in urls)
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/kg", data=b"{}"))
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
