@@ -839,6 +839,99 @@ def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/curation.py): emails/IPv4s/phones counted and
+    redacted. The testdata vocabulary carries no PII, so the query first
+    appends a deterministic doc_id-derived contact line — identically in
+    both engines — making every pattern fire on every row."""
+    from waka_spark.operators.curation import pii_scrub
+
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.12 call +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition stats: top-word / duplicate-word /
+    duplicate-bigram fractions per document."""
+    from waka_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: docs (doc_id % 23 != 0) sharing a
+    3-gram with the held-out 'benchmark' slice (doc_id % 23 == 0); the
+    benchmark shingle set is broadcast."""
+    from waka_spark.operators.curation import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 23 != 0),
+        docs.filter(F.col("doc_id") % 23 == 0),
+        n=3,
+    )
+
+
+def q_curation_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-chunk substring dedup: per doc, the fraction of its 5-word
+    chunks that also occur in another doc (Lee-et-al substring-dedup
+    approximation; one explode + hash-agg on chunk md5)."""
+    from waka_spark.operators.curation import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_words=5)
+
+
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph materialization stats: node degree (in/out/total) over the
+    rule-closure triples — the nodes-table side of the nodes/edges
+    materialization (sinks.py analog of kg.py:142-183). Sources triples
+    from the Aho-Corasick rule extractor (identical output to the full
+    e2e pipeline here — non-overlapping surfaces make fusion the
+    identity) so the suite doesn't pay the whole fusion pipeline twice."""
+    from waka_spark import schemas
+    from waka_spark.operators.relations import aho_relation_extraction
+
+    docs = q_kg_assembly(spark, sf_dir)
+    rules = spark.createDataFrame(RULES, schemas.RELATION_RULES)
+    raw = aho_relation_extraction(docs, rules)
+    t = raw.select(
+        "conv_id",
+        F.concat(F.lit("http://example.org/Q_"), "subj_text").alias("subj_url"),
+        F.concat(F.lit("http://example.org/P_"), "pred_text").alias("pred_url"),
+        F.concat(F.lit("http://example.org/Q_"), "obj_text").alias("obj_url"),
+    ).distinct()
+    # single scan of the (expensive) triples plan: explode both endpoints
+    # per row instead of unionAll-ing two selects, which would recompute
+    # the whole e2e pipeline once per branch
+    ends = t.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_url").alias("node"), F.lit(1).alias("is_out")
+                ),
+                F.struct(
+                    F.col("obj_url").alias("node"), F.lit(0).alias("is_out")
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.is_out")
+    return ends.groupBy("node").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.sum("is_out").cast("long").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("in_degree"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -894,6 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
+        "curation_pii_scrub": q_curation_pii_scrub,
+        "curation_repetition": q_curation_repetition,
+        "curation_contamination": q_curation_contamination,
+        "curation_chunk_dedup": q_curation_chunk_dedup,
+        "kg_degree": q_kg_degree,
     }
 
 
@@ -1691,6 +1789,123 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn
               FROM rev
             ) WHERE rn <= 10
+        """,
+        "curation_pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com from 10.'
+                     || CAST(doc_id % 200 AS VARCHAR) || '.0.12 call +1 555 '
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                     AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\+\d[\d ]{7,}\d')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d[\d ]{7,}\d', '<PHONE>', 'g') AS clean_text
+            FROM aug
+        """,
+        "curation_repetition": """
+            WITH w AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') ws
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, gram, count(*) c FROM (
+                SELECT doc_id, unnest(ws) AS gram FROM w
+              ) WHERE gram <> '' GROUP BY 1, 2
+            ),
+            wstats AS (
+              SELECT doc_id, sum(c) n_words, count(*) n_distinct_words,
+                     max(c) top_word_count
+              FROM wc GROUP BY 1
+            ),
+            bg AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 1, 1)
+                AND array_to_string(ws[i:i+1], ' ') <> ''
+            ),
+            bc AS (SELECT doc_id, gram, count(*) c FROM bg GROUP BY 1, 2),
+            bstats AS (
+              SELECT doc_id, sum(c) n_bigrams, count(*) n_distinct_bigrams
+              FROM bc GROUP BY 1
+            )
+            SELECT wstats.doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(top_word_count / CAST(n_words AS DOUBLE), 6)
+                     AS top_word_frac,
+                   round((n_words - n_distinct_words) / CAST(n_words AS DOUBLE), 6)
+                     AS dup_word_frac,
+                   round(COALESCE(
+                     (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE),
+                     0.0), 6) AS dup_bigram_frac
+            FROM wstats LEFT JOIN bstats USING (doc_id)
+        """,
+        "curation_contamination": f"""
+            WITH {_SHINGLES_CTE},
+            bsh AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 23 = 0),
+            hits AS (
+              SELECT s.doc_id, count(*) n_hits
+              FROM s JOIN bsh USING (shingle)
+              WHERE s.doc_id % 23 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 23 <> 0
+        """,
+        "curation_chunk_dedup": """
+            WITH w AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') ws
+              FROM documents
+            ),
+            c AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(ws[(i-1)*5+1:(i-1)*5+5], ' ')) AS chunk_hash
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE (i-1)*5+1 <= len(ws)
+                AND array_to_string(ws[(i-1)*5+1:(i-1)*5+5], ' ') <> ''
+            ),
+            freq AS (SELECT chunk_hash, count(*) n_docs_with FROM c GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_chunks,
+                   round(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_frac
+            FROM c JOIN freq USING (chunk_hash)
+            GROUP BY doc_id
+        """,
+        "kg_degree": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            ends AS (
+              SELECT subj_url AS node, 1 AS is_out FROM triples
+              UNION ALL SELECT obj_url, 0 FROM triples
+            )
+            SELECT node,
+                   CAST(count(*) AS BIGINT) AS degree,
+                   CAST(sum(is_out) AS BIGINT) AS out_degree,
+                   CAST(sum(1 - is_out) AS BIGINT) AS in_degree
+            FROM ends GROUP BY node
         """,
     }
 

@@ -45,6 +45,11 @@ EXTRAS = [
     "dedup_ngram_jaccard_guarded",
     "dedup_clusters",
     "ann_ivf_topk",
+    "curation_pii_scrub",
+    "curation_repetition",
+    "curation_contamination",
+    "curation_chunk_dedup",
+    "kg_degree",
 ]
 
 

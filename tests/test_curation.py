@@ -1,0 +1,82 @@
+"""Curation operators (operators/curation.py): PII scrub, Gopher-rule
+repetition stats, benchmark contamination, fixed-chunk substring dedup.
+
+These are the pre-tokenization corpus filters layered on the dedup/
+textstats families; semantics follow Rae et al. (Gopher, §A1.1) and
+Lee et al. ("Deduplicating Training Data Makes Language Models Better").
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from waka_spark.operators.curation import (
+    chunk_dedup,
+    contamination_check,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "write to bob@example.com or 10.0.0.1 call +1 555 0100 now"),
+        (2, "the the the the cat"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "one two three four five unique tail words here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_counts_and_redacts(docs):
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_ipv4"], r1["n_phones"]) == (1, 1, 1)
+    assert "<EMAIL>" in r1["clean_text"]
+    assert "<IP>" in r1["clean_text"]
+    assert "<PHONE>" in r1["clean_text"]
+    assert "bob@example.com" not in r1["clean_text"]
+    # clean rows untouched
+    r3 = out[3]
+    assert (r3["n_emails"], r3["n_ipv4"], r3["n_phones"]) == (0, 0, 0)
+    assert r3["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_repetition_stats(docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r2 = out[2]  # "the the the the cat": 5 words, 2 distinct, top=4
+    assert r2["n_words"] == 5
+    assert r2["top_word_frac"] == pytest.approx(0.8)
+    assert r2["dup_word_frac"] == pytest.approx(0.6)
+    # bigrams: "the the" x3, "the cat" -> 4 bigrams, 2 distinct
+    assert r2["dup_bigram_frac"] == pytest.approx(0.5)
+    r3 = out[3]  # all distinct
+    assert r3["dup_word_frac"] == 0.0
+    assert r3["dup_bigram_frac"] == 0.0
+
+
+def test_contamination_check_broadcast(docs):
+    corpus = docs.filter(F.col("doc_id") != 4)
+    benchmark = docs.filter(F.col("doc_id") == 4)
+    out = {r["doc_id"]: r for r in
+           contamination_check(corpus, benchmark, n=3).collect()}
+    assert set(out) == {1, 2, 3, 5}  # every corpus doc reported
+    assert out[3]["contaminated"] == 1  # doc 3 == benchmark doc 4
+    assert out[3]["n_hits"] == 8  # 10 words -> 8 trigrams, all shared
+    assert out[1]["contaminated"] == 0
+    assert out[5]["contaminated"] == 0
+    # the benchmark side must be a broadcast probe, not a shuffle join
+    plan = contamination_check(corpus, benchmark, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup(docs):
+    out = {r["doc_id"]: r for r in
+           chunk_dedup(docs, chunk_words=5).collect()}
+    # docs 3 and 4 are identical 10-word texts -> both 5-word chunks shared
+    for d in (3, 4):
+        assert out[d]["n_chunks"] == 2
+        assert out[d]["n_dup_chunks"] == 2
+        assert out[d]["dup_chunk_frac"] == pytest.approx(1.0)
+    assert out[5]["n_dup_chunks"] == 0

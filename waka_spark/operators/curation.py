@@ -1,0 +1,233 @@
+"""Corpus-curation operators for training-data pipelines: PII scrubbing,
+repetition statistics (Gopher-rule family), benchmark-contamination
+checks, and fixed-chunk substring dedup.
+
+These extend the dedup/textstats families (operators/dedup.py,
+operators/textstats.py) with the filters a 100 TB pre-training corpus
+pass actually runs before tokenization. Scale shapes:
+
+- pii_scrub: pure regexp column ops — whole-stage codegen, zero shuffle.
+- repetition_stats: word/bigram explode → two hash-aggs keyed by doc_id
+  (map-side partial combine; key cardinality == corpus size, no skew
+  beyond document length).
+- contamination_check: the benchmark side (an eval set) is tiny by
+  construction, so its shingle set is BROADCAST — the corpus never
+  shuffles; cost is one scan + hash probes.
+- chunk_dedup: non-overlapping fixed-width chunks approximate
+  suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+  Makes Language Models Better") with one explode + one hash-agg on the
+  chunk hash.
+
+All hashes are md5 and all regexes are RE2-compatible so the DuckDB
+oracle computes identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from waka_spark.operators.dedup import normalize_text
+
+# RE2-compatible (no lookaround/backrefs) so Spark's Java regex and the
+# DuckDB oracle's RE2 agree on every match
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d ]{7,}\d"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers; count each.
+
+    Counts come from the original text (the three patterns are mutually
+    non-overlapping: '@' vs dotted quads vs leading '+'); redaction chains
+    email → ip → phone so placeholder tokens never re-match. Pure column
+    expressions — no UDF, no shuffle.
+    """
+    text = F.col(text_col)
+
+    def n_matches(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+    clean = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_matches(EMAIL_RE).alias("n_emails"),
+        n_matches(IPV4_RE).alias("n_ipv4"),
+        n_matches(PHONE_RE).alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Sliding n-gram word shingles WITH duplicates (array<string>) —
+    repetition statistics need multiplicity, unlike dedup.word_shingles."""
+    words = F.split(normalize_text(text), " ")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+        lambda s: s != "",
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - top_word_frac:   occurrences of the most frequent word / n_words
+    - dup_word_frac:   (n_words - n_distinct_words) / n_words
+    - dup_bigram_frac: (n_bigrams - n_distinct_bigrams) / n_bigrams
+
+    Two explode+agg passes (words, bigrams), each a single hash-agg keyed
+    by (doc_id, gram) then doc_id — map-side partials apply, key skew is
+    bounded by document length.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), 1)).alias("gram"),
+    )
+    word_stats = (
+        words.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    bigrams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        word_stats.join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("top_word_count") / F.col("n_words"), 6)
+            .alias("top_word_frac"),
+            F.round(
+                (F.col("n_words") - F.col("n_distinct_words"))
+                / F.col("n_words"), 6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                    / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ), 6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination flag: corpus docs sharing ≥1 word n-gram
+    with any benchmark document.
+
+    The benchmark's distinct shingle set is BROADCAST (eval sets are tiny
+    relative to a 100 TB corpus), so the corpus side stays shuffle-free:
+    one scan, narrow shingling, hash-probe join, one agg keyed by doc_id.
+    Output: (doc_id, n_hits, contaminated) for every corpus doc.
+    """
+    from waka_spark.operators.dedup import _doc_shingles
+
+    corpus_sh = _doc_shingles(df, id_col, text_col, n)
+    bench_sh = (
+        _doc_shingles(benchmark, id_col, text_col, n)
+        .select("shingle").distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Fixed-chunk substring dedup: split each doc into non-overlapping
+    ``chunk_words``-word chunks, hash them, and report per doc how many of
+    its chunks also occur in ANOTHER doc.
+
+    The fixed-width chunking is the scalable approximation of
+    suffix-array substring dedup: one explode + one agg on the chunk hash
+    (count distinct docs per chunk), then one agg back to doc_id.
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_full = F.floor((F.size(words) - 1) / chunk_words).cast("int")
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_full, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+        lambda s: s != "",
+    )
+    doc_chunks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(chunks)).alias("chunk"),
+        )
+        .withColumn("chunk_hash", F.md5("chunk"))
+        .select("doc_id", "chunk_hash")
+    )
+    freq = (
+        doc_chunks.groupBy("chunk_hash")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    return (
+        doc_chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+            .alias("dup_chunk_frac"),
+        )
+    )
