@@ -98,13 +98,18 @@ def ngram_jaccard_pairs(
     """
     shingles = _doc_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
-        rare = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # document-frequency guard as ONE window over shingle partitioning,
+        # not a groupBy+self-join: the join form re-evaluates the (CPU-heavy)
+        # shingle explode once per consumer of its output — and this frame
+        # has three consumers below (sizes, both join sides) — while the
+        # window keeps a single lineage whose exchange the a/b self-join
+        # can reuse (it is already hash-partitioned by shingle).
+        w_df = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("_df", F.count("*").over(w_df))
             .filter(F.col("_df") <= max_shingle_freq)
-            .select("shingle")
+            .drop("_df")
         )
-        shingles = shingles.join(rare, "shingle")
 
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 

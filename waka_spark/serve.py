@@ -36,9 +36,13 @@ from waka_spark.plans.pipeline import KGPipeline
 class KGService:
     """Runs the batch pipeline on one request-supplied conversation.
 
-    The per-request frame is a single transcript row, so every stage of the
-    DAG is a handful of tasks; ``cut_lineage="none"`` skips the stage
-    barriers that only pay off at corpus scale.
+    The per-request frame is a single transcript row, so every stage runs
+    a handful of tasks — but the response still collects TWO outputs
+    (triples and final_entities) from a DAG whose stages have multiple
+    consumers, so ``cut_lineage="smart"`` (materialize at multi-consumer
+    boundaries) is load-bearing here too: with "none" the whole fusion DAG
+    re-executes once per consumer and a single request costs minutes, not
+    seconds.
     """
 
     def __init__(self, spark: SparkSession, pipeline: KGPipeline):
@@ -49,7 +53,7 @@ class KGService:
         transcripts = self.spark.createDataFrame(
             [(conv_id, 0, "user", text, None, None)], schemas.TRANSCRIPTS
         )
-        out = self.pipeline.run(transcripts, resolve=True, cut_lineage="none")
+        out = self.pipeline.run(transcripts, resolve=True, cut_lineage="smart")
         triples = [
             {
                 "subject": {"url": r["subj_url"], "label": r["subj_label"]},
