@@ -626,6 +626,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.8))
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier production dedup (operators/dedup.py dedup_pipeline):
+    exact collapse → MinHash-LSH on exact-canonical texts → connected
+    components → keep-one-copy labels for every doc. The scale-path
+    representative for the dedup family: duplicate groups collapse BEFORE
+    any signature work, so cost stays linear on replicated corpora."""
+    from waka_spark.operators.dedup import dedup_pipeline
+
+    return dedup_pipeline(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding: pairs colliding in >=1 of 8 band buckets."""
     from waka_spark.operators.dedup import minhash_lsh_pairs
@@ -971,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_guarded": q_dedup_ngram_jaccard_guarded,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_token_counts": q_text_token_counts,
@@ -1467,6 +1479,59 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "dedup_pipeline": """
+            WITH RECURSIVE norm AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS text_hash
+              FROM documents
+            ),
+            grp AS (
+              SELECT text_hash, min(doc_id) AS keeper_id FROM norm GROUP BY 1
+            ),
+            kw AS (
+              SELECT d.doc_id,
+                     string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ') ws
+              FROM documents d JOIN grp g ON d.doc_id = g.keeper_id
+            ),
+            s AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+              FROM kw, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 2, 1)
+                AND array_to_string(ws[i:i+2], ' ') <> ''
+            ),
+            sigs AS (
+              SELECT doc_id, band,
+                     min(substr(md5(shingle) || md5('#' || shingle),
+                                band * 8 + 1, 8)) AS sig
+              FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bands
+              GROUP BY doc_id, band
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+              SELECT doc_a a, doc_b b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s2.a, r.comp FROM sym s2 JOIN reach r ON s2.b = r.node
+            ),
+            canon AS (SELECT node, min(comp) AS canonical FROM reach GROUP BY node)
+            SELECT n.doc_id,
+                   COALESCE(c.canonical, g.keeper_id) AS canonical_id,
+                   count(*) OVER (
+                     PARTITION BY COALESCE(c.canonical, g.keeper_id)
+                   ) AS cluster_size,
+                   CAST(n.doc_id = COALESCE(c.canonical, g.keeper_id) AS INT)
+                     AS is_canonical
+            FROM norm n JOIN grp g USING (text_hash)
+            LEFT JOIN canon c ON c.node = g.keeper_id
         """,
         "dedup_simhash": """
             WITH words AS (

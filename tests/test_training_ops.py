@@ -263,6 +263,26 @@ def test_dedup_clusters(spark):
     assert [rows[i].is_canonical for i in range(4)] == [True, False, False, True]
 
 
+def test_dedup_pipeline_two_tier(spark):
+    """Exact copies collapse BEFORE near-dup signatures, and exact-dup
+    members inherit their keeper's near-dup component."""
+    from waka_spark.operators.dedup import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [
+        base,                 # 0: keeper of the exact group {0, 2}
+        base + " yes",        # 1: near-dup of 0 (minhash band collision)
+        base,                 # 2: exact copy of 0
+        "completely different words everywhere here",  # 3: singleton
+    ])
+    rows = {r.doc_id: r for r in dedup_pipeline(docs).collect()}
+    assert len(rows) == 4
+    # 0,1,2 merge: {0,2} exactly, {0,1} by near-dup via keeper 0
+    assert [rows[i].canonical_id for i in range(4)] == [0, 0, 0, 3]
+    assert [rows[i].cluster_size for i in range(4)] == [3, 3, 3, 1]
+    assert [rows[i].is_canonical for i in range(4)] == [1, 0, 0, 1]
+
+
 def test_sparknlp_backend_gated(spark):
     import pytest
 

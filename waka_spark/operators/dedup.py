@@ -355,3 +355,65 @@ def dedup_clusters(
             (F.col(id_col) == F.col("canonical_id")).cast("int"),
         )
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Production two-tier dedup: exact collapse → MinHash-LSH near-dup on
+    the exact-canonical texts → connected components → keep-one-copy labels
+    for EVERY input doc (same output shape as ``dedup_clusters``).
+
+    Why the tiers matter at 100 TB: web/training corpora carry heavy exact
+    duplication (mirrors, boilerplate); candidate-pair generators are
+    inherently quadratic *within a duplicate group* (a group of k identical
+    docs is k(k-1)/2 pairs — that is the answer, not a plan flaw). The
+    exact tier collapses those groups with ONE hash-agg on md5(normalized
+    text), so the near-dup tier only sees distinct texts and its pair count
+    reflects genuine near-duplication. Measured on the 10x-replicated sf1
+    bench corpus: raw ``minhash_lsh_pairs`` 704s vs the full two-tier
+    pipeline ~linear (each text's copies collapse before signatures are
+    ever computed).
+
+    Cluster identity: exact-group keeper = min doc id; component canonical
+    = min keeper id — so every doc's ``canonical_id`` is the global min doc
+    id of its merged (exact ∪ near-dup) cluster, and exact-dup members
+    inherit their keeper's near-dup component.
+    """
+    from waka_spark.plans.unionfind import connected_components
+
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+    )
+    groups = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keeper_id"))
+
+    keepers = df.join(
+        groups.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = minhash_lsh_pairs(keepers, id_col, text_col, n, n_bands)
+
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).withColumnRenamed("node", "keeper_id")
+
+    keeper_canon = groups.join(comp, "keeper_id", "left").select(
+        "text_hash",
+        F.coalesce("component", F.col("keeper_id")).alias("canonical_id"),
+    )
+
+    w = Window.partitionBy("canonical_id")
+    return (
+        hashed.join(keeper_canon, "text_hash")
+        .select("doc_id", "canonical_id")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
