@@ -902,6 +902,23 @@ def q_curation_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_words=5)
 
 
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id hash (90/5/5): stable
+    across runs and engines, zero shuffle."""
+    from waka_spark.operators.curation import split_by_hash
+
+    return split_by_hash(_t(spark, sf_dir, "documents"))
+
+
+def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token bins across 64
+    hash-bucketed parallel packing streams."""
+    from waka_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          budget=512, n_buckets=64)
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialization stats: node degree (in/out/total) over the
     rule-closure triples — the nodes-table side of the nodes/edges
@@ -1003,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_repetition": q_curation_repetition,
         "curation_contamination": q_curation_contamination,
         "curation_chunk_dedup": q_curation_chunk_dedup,
+        "curation_split": q_curation_split,
+        "curation_pack": q_curation_pack,
         "kg_degree": q_kg_degree,
     }
 
@@ -1954,6 +1973,39 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_frac
             FROM c JOIN freq USING (chunk_hash)
             GROUP BY doc_id
+        """,
+        "curation_split": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS frac
+              FROM documents
+            )
+            SELECT doc_id, round(frac, 6) AS split_frac,
+                   CASE WHEN frac < 0.9 THEN 'train'
+                        WHEN frac < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM f
+        """,
+        "curation_pack": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 64 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_offset,
+                   CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens) / 512.0) AS BIGINT) AS seq_idx
+            FROM toks
         """,
         "kg_degree": f"""
             WITH {_ASSEMBLY_CTE},

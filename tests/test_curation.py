@@ -80,3 +80,42 @@ def test_chunk_dedup(docs):
         assert out[d]["n_dup_chunks"] == 2
         assert out[d]["dup_chunk_frac"] == pytest.approx(1.0)
     assert out[5]["n_dup_chunks"] == 0
+
+
+def test_split_by_hash_deterministic_and_partitioned(spark):
+    from waka_spark.operators.curation import split_by_hash
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(docs).collect()
+    assert len(out) == 2000
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    # roughly 90/5/5 (hash-uniform; loose bounds)
+    assert 1700 < len(by_split["train"]) < 1900
+    assert 40 < len(by_split["val"]) < 180
+    assert 40 < len(by_split["test"]) < 180
+    # deterministic: same assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in split_by_hash(docs).collect()}
+    for split, ids in by_split.items():
+        assert all(again[i] == split for i in ids)
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    from waka_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=64, n_buckets=4).collect()
+    assert len(out) == 200
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for bucket, docs_in in by_bucket.items():
+        docs_in.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in docs_in:  # offsets form one contiguous token stream
+            assert r["start_offset"] == offset
+            assert r["seq_idx"] == offset // 64
+            offset += r["n_tokens"]

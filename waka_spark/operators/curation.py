@@ -24,7 +24,7 @@ oracle computes identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from waka_spark.operators.dedup import normalize_text
@@ -230,4 +230,74 @@ def chunk_dedup(
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
             .alias("dup_chunk_frac"),
         )
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    ``frac = int(md5(id)[:8], 16) / 2^32`` is uniform on [0,1) and stable
+    across runs/engines, so the split is reproducible without a stored
+    assignment table and new docs never reshuffle old ones (the property
+    random-split lacks). Pure column ops — zero shuffle at any scale.
+    """
+    train_w, val_w, _ = weights
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(1 << 32))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(frac, 6).alias("split_frac"),
+        F.when(frac < train_w, "train")
+        .when(frac < train_w + val_w, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): document token
+    streams are concatenated in id order and cut every ``budget`` tokens;
+    each doc reports the sequence its first token lands in.
+
+    Scale shape: a single global concatenation would serialize the corpus
+    through one window partition, so docs are first routed to
+    ``n_buckets`` independent packing streams by id hash (deterministic),
+    and the running-offset window runs per bucket — n_buckets parallel
+    packers, one shuffle, no skew beyond token-count variance. Output:
+    (doc_id, bucket, n_tokens, start_offset, seq_idx).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("int") % n_buckets
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "seq_idx", F.floor(F.col("start_offset") / budget).cast("long")
     )
