@@ -960,6 +960,157 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): every purchase event
+    paired with the user's latest click at-or-before it — one shuffle +
+    one sort via the union-tag running-last trick, no per-key pair
+    enumeration (Spark has no ASOF JOIN; the naive theta-join is
+    per-key quadratic). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from waka_spark.operators.temporal import asof_join, epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    out = asof_join(purchases, clicks, key="user_id", right_payload=["value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("_asof_ts").alias("click_ts"),
+        F.round("value", 6).alias("click_value"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("_asof_ts"))).alias("lag_us"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed range join (operators/temporal.py): per purchase, count +
+    sum of the user's clicks in the preceding hour. Timestamps binned to
+    window-width buckets turn the (key, range) theta-join into an
+    equi-join on (key, bucket) with a 2-bucket probe."""
+    from waka_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    out = range_join_binned(
+        purchases, clicks, key="user_id", window_sec=3600.0,
+        aggs=[
+            F.count("*").cast("long").alias("n_in_window"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    )
+    return out.select("event_id", "user_id", "ts", "n_in_window", "sum_value")
+
+
+def _simhash_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared doc-similarity graph for the graph-analytics queries:
+    symmetrized SimHash near-dup pairs over documents (a real, dense
+    equivalence-ish graph — unlike the tiny fixture KG)."""
+    from waka_spark.operators.dedup import simhash_pairs
+    from waka_spark.operators.graph import symmetrize
+
+    return symmetrize(simhash_pairs(_t(spark, sf_dir, "documents")))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank (operators/graph.py) over the SimHash
+    near-dup similarity graph — Pregel-as-join+agg, one localCheckpoint
+    per round, (node, rank) pairs are the only per-round shuffle state."""
+    from waka_spark.operators.graph import pagerank
+
+    ranks = pagerank(_simhash_graph(spark, sf_dir), n_iter=10)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank"))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the SimHash similarity graph: canonical a<b<c
+    two-path join, each triangle generated exactly once."""
+    from waka_spark.operators.graph import triangle_count
+
+    return triangle_count(_simhash_graph(spark, sf_dir))
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 words by frequency with document
+    frequency — explode + one hash-agg (map-side partials) + global
+    TakeOrderedAndProject; ties are total-ordered by (freq desc, word)."""
+    from waka_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+def _rule_triples_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-closure triples with a deterministic per-conversation score —
+    shared input for the incremental-merge and negative-sampling queries
+    (same cheap source as kg_degree; score varies by conv so max-merge is
+    meaningful and SQL-derivable)."""
+    from waka_spark import schemas
+    from waka_spark.operators.relations import aho_relation_extraction
+
+    docs = q_kg_assembly(spark, sf_dir)
+    rules = spark.createDataFrame(RULES, schemas.RELATION_RULES)
+    raw = aho_relation_extraction(docs, rules)
+    return raw.select(
+        "conv_id",
+        F.concat(F.lit("http://example.org/Q_"), "subj_text").alias("subj_url"),
+        F.concat(F.lit("http://example.org/P_"), "pred_text").alias("pred_url"),
+        F.concat(F.lit("http://example.org/Q_"), "obj_text").alias("obj_url"),
+    ).distinct().withColumn(
+        "score",
+        F.lit(0.1) + (F.col("conv_id").cast("int") % 10) / F.lit(10.0),
+    )
+
+
+def q_kg_edges_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance (plans/incremental.py): edges built
+    from even conversations (the base table) merged with the odd-conv
+    delta batch — the engine semantics of Iceberg MERGE INTO on the
+    materialized edges table. The oracle is the full recompute over all
+    conversations, pinning the merge algebra (merge(base, delta) ==
+    rebuild) rather than restating the implementation."""
+    from waka_spark.plans.incremental import edges_from_triples, merge_edges
+
+    t = _rule_triples_scored(spark, sf_dir)
+    even = t.filter(F.col("conv_id").cast("int") % 2 == 0)
+    odd = t.filter(F.col("conv_id").cast("int") % 2 == 1)
+    merged = merge_edges(edges_from_triples(even), edges_from_triples(odd))
+    return merged.withColumn("score", F.round("score", 6))
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TransE-style negative sampling over the KG edges
+    (plans/incremental.py): md5-indexed corruption via an equi-join on a
+    dense node index — reproducible, no RNG state, no cross join."""
+    from waka_spark.plans.incremental import negative_samples
+
+    return negative_samples(_rule_triples_scored(spark, sf_dir), k=2)
+
+
+def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile (operators/diagnostics.py) of events.user_id:
+    top-20 heaviest keys with share-of-total and skew-vs-mean — the
+    measurement that picks salting factors."""
+    from waka_spark.operators.diagnostics import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1023,11 +1174,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_split": q_curation_split,
         "curation_pack": q_curation_pack,
         "kg_degree": q_kg_degree,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "text_vocab_topk": q_text_vocab_topk,
+        "kg_edges_merge": q_kg_edges_merge,
+        "kg_negative_samples": q_kg_negative_samples,
+        "diag_key_skew": q_diag_key_skew,
     }
 
 
 _CONV = "CAST(doc_id % 50 AS VARCHAR)"
 _TURN = "(doc_id // 50)"
+
+# SimHash fingerprint + banded candidate pairs as shared CTEs (used by the
+# dedup_simhash_pairs oracle and the graph-analytics oracles that build on
+# the same similarity graph)
+_SIMHASH_PAIRS_CTES = """
+sh_words AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+),
+sh_hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h
+  FROM sh_words WHERE word <> ''
+),
+sh_bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM sh_hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh_fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sh_bits GROUP BY doc_id
+),
+sh_tagged AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS key
+  FROM sh_fp, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+sh_pairs AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM sh_tagged a JOIN sh_tagged b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+"""
+
+# symmetrized similarity graph + out-degrees on top of sh_pairs
+_SIMHASH_GRAPH_CTES = _SIMHASH_PAIRS_CTES + """,
+g_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sh_pairs WHERE doc_a <> doc_b
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM sh_pairs WHERE doc_a <> doc_b
+),
+g_deg AS (SELECT src, count(*) AS outdeg FROM g_edges GROUP BY src),
+g_nodes AS (SELECT DISTINCT src AS node FROM g_edges),
+g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)
+"""
+
+
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as chained CTEs (one per round) — the SQL
+    mirror of operators/graph.py:pagerank. All arithmetic is forced to
+    DOUBLE so DuckDB's decimal literals don't diverge from Spark's IEEE
+    doubles."""
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"(CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM g_n)"
+    ctes = [
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM g_n) AS rank "
+        "FROM g_nodes)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node,
+         {base} + {d} * coalesce(s.contrib, CAST(0 AS DOUBLE)) AS rank
+  FROM g_nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS contrib
+    FROM g_edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN g_deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s ON nd.node = s.node
+)""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        f"SELECT node AS doc_id, round(rank, 6) AS pagerank FROM r{n_iter}"
+    )
 
 _ASSEMBLY_CTE = f"""
 conv AS (
@@ -1571,35 +1807,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
         """,
-        "dedup_simhash_pairs": """
-            WITH words AS (
-              SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
-              FROM documents
-            ),
-            hashed AS (
-              SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h
-              FROM words WHERE word <> ''
-            ),
-            bits AS (
-              SELECT doc_id, b.bit,
-                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
-              FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
-              GROUP BY doc_id, b.bit
-            ),
-            fp AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-              FROM bits GROUP BY doc_id
-            ),
-            tagged AS (
-              SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS key
-              FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b
-            )
-            SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM tagged a JOIN tagged b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        "dedup_simhash_pairs": f"""
+            WITH {_SIMHASH_PAIRS_CTES}
+            SELECT doc_a, doc_b, hamming FROM sh_pairs
         """,
         "text_token_counts": """
             SELECT doc_id,
@@ -2023,6 +2233,117 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(is_out) AS BIGINT) AS out_degree,
                    CAST(sum(1 - is_out) AS BIGINT) AS in_degree
             FROM ends GROUP BY node
+        """,
+        "events_asof_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.ts AS click_ts,
+                   round(c.value, 6) AS click_value,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "events_range_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(c.ts) AS BIGINT) AS n_in_window,
+                   round(sum(c.value), 6) AS sum_value
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "graph_pagerank": _pagerank_sql(n_iter=10, damping=0.85),
+        "graph_triangles": f"""
+            WITH {_SIMHASH_PAIRS_CTES},
+            canon AS (
+              SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+              FROM sh_pairs WHERE doc_a <> doc_b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM canon e1
+            JOIN canon e2 ON e1.b = e2.a
+            JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "kg_edges_merge": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            scored AS (
+              SELECT *, CAST(0.1 AS DOUBLE)
+                        + (CAST(conv_id AS INT) % 10) / CAST(10.0 AS DOUBLE) AS score
+              FROM triples
+            )
+            -- full recompute == merge(base_even, delta_odd): max of maxes,
+            -- sum of counts, disjoint-batch distinct sums
+            SELECT subj_url, pred_url, obj_url,
+                   round(max(score), 6) AS score,
+                   CAST(count(*) AS BIGINT) AS support,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM scored GROUP BY 1, 2, 3
+        """,
+        "kg_negative_samples": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            edges AS (SELECT DISTINCT subj_url, pred_url, obj_url FROM triples),
+            nodes AS (
+              SELECT subj_url AS node FROM triples
+              UNION SELECT obj_url FROM triples
+            ),
+            idx AS (
+              SELECT node, row_number() OVER (ORDER BY node) - 1 AS node_idx
+              FROM nodes
+            ),
+            nn AS (SELECT count(*) AS n FROM idx),
+            fanned AS (
+              SELECT e.subj_url, e.pred_url, e.obj_url, g.i AS neg_idx,
+                     CAST(('0x' || substr(md5(
+                       e.subj_url || ':' || e.pred_url || ':' || e.obj_url
+                       || ':' || CAST(g.i AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % (SELECT n FROM nn) AS pick
+              FROM edges e, (SELECT unnest(generate_series(0, 1)) AS i) g
+            )
+            SELECT f.subj_url, f.pred_url, f.obj_url,
+                   CAST(f.neg_idx AS INT) AS neg_idx,
+                   i.node AS neg_obj_url,
+                   CAST(CASE WHEN i.node = f.obj_url THEN 1 ELSE 0 END AS INT)
+                     AS is_degenerate
+            FROM fanned f JOIN idx i ON f.pick = i.node_idx
+        """,
+        "diag_key_skew": """
+            WITH counts AS (
+              SELECT CAST(user_id AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+            SELECT key, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+                   round(CAST(n_rows AS DOUBLE)
+                         / (CAST(total AS DOUBLE) / n_keys), 6) AS skew_vs_mean,
+                   CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT)
+                     AS rank
+            FROM counts, tot
+            QUALIFY rank <= 20
+        """,
+        "text_vocab_topk": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM words WHERE word <> ''
+            GROUP BY word ORDER BY freq DESC, word ASC LIMIT 100
         """,
     }
 

@@ -1,0 +1,92 @@
+"""Unit tests for plans/incremental.py (edge merge, negative sampling)
+and operators/diagnostics.py (key-skew profile)."""
+
+from pyspark.sql import functions as F
+
+
+def _triples(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", "A", "P1", "B", 0.5),
+            ("c2", "A", "P1", "B", 0.9),   # same edge, higher score
+            ("c2", "A", "P2", "C", 0.3),
+            ("c3", "B", "P1", "C", 0.7),
+        ],
+        "conv_id string, subj_url string, pred_url string, obj_url string, "
+        "score double",
+    )
+
+
+def test_edges_from_triples(spark):
+    from waka_spark.plans.incremental import edges_from_triples
+
+    rows = {
+        (r["subj_url"], r["pred_url"], r["obj_url"]):
+            (r["score"], r["support"], r["n_convs"])
+        for r in edges_from_triples(_triples(spark)).collect()
+    }
+    assert rows[("A", "P1", "B")] == (0.9, 2, 2)   # max score, 2 convs
+    assert rows[("A", "P2", "C")] == (0.3, 1, 1)
+    assert len(rows) == 3
+
+
+def test_merge_edges_equals_rebuild(spark):
+    """The merge algebra: folding a delta into a base equals recomputing
+    from scratch over the union of batches (disjoint conv sets)."""
+    from waka_spark.plans.incremental import edges_from_triples, merge_edges
+
+    t = _triples(spark)
+    base = edges_from_triples(t.filter(F.col("conv_id") != "c3"))
+    delta = edges_from_triples(t.filter(F.col("conv_id") == "c3"))
+    merged = {
+        tuple(r[k] for k in ("subj_url", "pred_url", "obj_url",
+                             "score", "support", "n_convs"))
+        for r in merge_edges(base, delta).collect()
+    }
+    rebuilt = {
+        tuple(r[k] for k in ("subj_url", "pred_url", "obj_url",
+                             "score", "support", "n_convs"))
+        for r in edges_from_triples(t).collect()
+    }
+    assert merged == rebuilt
+
+
+def test_negative_samples_deterministic_and_joined(spark):
+    from waka_spark.plans.incremental import negative_samples
+
+    t = _triples(spark)
+    a = sorted(map(tuple, negative_samples(t, k=3).collect()))
+    b = sorted(map(tuple, negative_samples(t, k=3).collect()))
+    assert a == b                                  # reproducible
+    assert len(a) == 3 * 3                         # k per distinct edge
+    nodes = {"A", "B", "C"}
+    for row in a:
+        subj, pred, obj, neg_idx, neg_obj, degen = row
+        assert neg_obj in nodes                    # corrupted to a real node
+        assert degen == int(neg_obj == obj)        # flagged, not resampled
+
+
+def test_key_skew_profile(spark):
+    from waka_spark.operators.diagnostics import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+    )
+    rows = key_skew_profile(df, "k", top_n=2).collect()
+    assert [r["key"] for r in rows] == ["hot", "warm"]  # top-2 only
+    hot = rows[0]
+    assert hot["rank"] == 1 and hot["n_rows"] == 6
+    assert abs(hot["share"] - 0.6) < 1e-9
+    # mean key mass = 10/3; hot skew = 6 / (10/3) = 1.8
+    assert abs(hot["skew_vs_mean"] - 1.8) < 1e-9
+
+
+def test_key_skew_profile_is_take_ordered(spark):
+    """Plan shape: the top-k must be TakeOrdered, never a global sort of
+    the full key dictionary."""
+    from waka_spark.operators.diagnostics import key_skew_profile
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    plan = key_skew_profile(df, "k", top_n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

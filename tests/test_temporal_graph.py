@@ -1,0 +1,163 @@
+"""Unit tests for operators/temporal.py (as-of + binned range join) and
+operators/graph.py (PageRank, triangles) on hand-computable fixtures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(0)),   # before any quote -> no match
+            (2, "A", _ts(5)),   # matches quote at :05 exactly (ts <= ts)
+            (3, "A", _ts(30)),  # matches latest quote at :20
+            (4, "B", _ts(10)),  # key B has its own stream
+        ],
+        "trade_id int, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(5), 100.0),
+            ("A", _ts(20), 101.0),
+            ("B", _ts(9), 55.0),
+            ("C", _ts(1), 7.0),  # key never queried
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(spark, trades_quotes):
+    from waka_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, key="sym", right_payload=["px"])
+    got = {r["trade_id"]: (r["px"], r["_asof_ts"]) for r in out.collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (100.0, _ts(5))     # same-instant row matches (<=)
+    assert got[3] == (101.0, _ts(20))    # latest preceding, not first
+    assert got[4] == (55.0, _ts(9))
+    assert out.count() == trades.count()  # left-outer: every trade kept
+
+
+def test_asof_join_tolerance(spark, trades_quotes):
+    from waka_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, key="sym", right_payload=["px"], tolerance_sec=120.0
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got[2] == 100.0   # 0s lag: fresh
+    assert got[3] is None    # 10min lag > 2min tolerance: nulled, row kept
+    assert got[4] == 55.0    # 60s lag: fresh
+
+
+def test_range_join_binned_counts(spark):
+    from waka_spark.operators.temporal import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(30))], "event_id int, user string, ts timestamp"
+    )
+    # window is [09:30, 10:30): boundary semantics both ways
+    right = spark.createDataFrame(
+        [
+            ("u", dt.datetime(2024, 1, 1, 9, 29, 59), 1.0),  # too old
+            ("u", dt.datetime(2024, 1, 1, 9, 30, 0), 2.0),   # exactly -1h: in
+            ("u", _ts(15), 3.0),                             # in
+            ("u", _ts(30), 4.0),                             # == left ts: out
+            ("v", _ts(15), 5.0),                             # other key
+        ],
+        "user string, ts timestamp, value double",
+    )
+    out = range_join_binned(
+        left, right, key="user", window_sec=3600.0,
+        aggs=[F.count("*").cast("long").alias("n_in_window"),
+              F.sum("value").alias("sum_value")],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_in_window"] == 2
+    assert out[0]["sum_value"] == 5.0
+
+
+def test_range_join_binned_empty_window_kept(spark):
+    from waka_spark.operators.temporal import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(0)), (2, "w", _ts(1))],
+        "event_id int, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 1.0)], "user string, ts timestamp, value double"
+    )  # after both left rows -> nothing in any window
+    rows = range_join_binned(left, right, key="user", window_sec=60.0).collect()
+    assert {r["event_id"]: r["n_in_window"] for r in rows} == {1: 0, 2: 0}
+
+
+def test_pagerank_star_graph(spark):
+    from waka_spark.operators.graph import pagerank, symmetrize
+
+    # undirected star: hub 0 - leaves 1..4; symmetry => leaves share a rank
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "doc_a int, doc_b int"
+    )
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(symmetrize(pairs), n_iter=20).collect()}
+    assert len(ranks) == 5
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9      # mass conserved
+    leaf = [v for k, v in ranks.items() if k != 0]
+    assert max(leaf) - min(leaf) < 1e-12              # symmetric leaves
+    assert ranks[0] > max(leaf) * 2                   # hub dominates
+    # fixed point: hub = base(1+4d)/(1-d^2) ~= 0.47568, leaf ~= 0.13108;
+    # 20 rounds leave a ~d^20 ~= 0.04 residual, so compare loosely
+    assert abs(ranks[0] - 0.47568) < 0.02
+    assert abs(leaf[0] - 0.13108) < 0.01
+
+
+def test_triangle_count(spark):
+    from waka_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; edges given in mixed orientation + a duplicate
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (3, 1), (2, 3)],
+        "src int, dst int",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_asof_join_is_single_sort_no_join(spark, trades_quotes):
+    """Plan shape: the as-of join must not contain ANY join operator —
+    the union-tag formulation is one exchange + one sort + window."""
+    from waka_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    plan = asof_join(
+        trades, quotes, key="sym", right_payload=["px"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """Plan shape: the range join must be a hash/sort-merge equi-join,
+    never a BroadcastNestedLoopJoin (the naive theta-join shape)."""
+    from waka_spark.operators.temporal import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts(0))], "event_id int, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 1.0)], "user string, ts timestamp, value double"
+    )
+    plan = range_join_binned(
+        left, right, key="user", window_sec=60.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,125 @@
+"""Graph analytics over materialized KG / similarity graphs: PageRank and
+triangle counting.
+
+The reference builds one isolated KG per request (kg_construction.py:
+267-282) and never analyzes graph structure; at corpus scale the
+materialized nodes/edges tables (sinks.py, plans/unionfind.py) invite the
+standard graph passes — centrality for entity importance ranking, triangle
+count for clustering-coefficient quality checks on the resolved graph.
+
+Scale shapes (both pure DataFrame ops, no UDFs):
+
+- ``pagerank``: the Pregel iteration as join+agg. Per round: ranks ⋈
+  edges on src (hash join co-partitioned with the edge shuffle), groupBy
+  dst (map-side partial sums), one ``localCheckpoint`` to cut lineage
+  (same round discipline as plans/unionfind.py). Edges and degrees are
+  computed once and persisted; each round shuffles only (node, rank)
+  pairs — the minimum possible state. Convergence is a fixed iteration
+  budget (deterministic, oracle-portable) rather than an epsilon test,
+  which would add a driver-side action per round.
+- ``triangle_count``: the two-path join with the canonical a<b<c
+  ordering, so every triangle is generated exactly once and the join
+  never enumerates a pair twice. Input edges are deduped + symmetrized
+  first; skew guard is the standard one — high-degree nodes dominate the
+  two-path fan-out, so callers cap degree upstream if the graph has hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Undirected pair list → directed edge list with both orientations
+    (deduped): (src, dst)."""
+    return (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node, rank).
+
+    Node set = nodes appearing in ``edges`` (as src or dst). Nodes with no
+    out-edges (dangling) contribute nothing per round — the caller decides
+    whether to redistribute dangling mass; on symmetrized similarity
+    graphs every node has out-edges so the question is moot. Rank mass is
+    therefore conserved exactly on symmetric graphs: sum(rank) == 1.
+
+    Each round: contrib(v) = Σ_{u→v} rank(u)/outdeg(u);
+    rank'(v) = (1-d)/N + d·contrib(v). One join + one agg per round over
+    (node, rank) pairs only; ``localCheckpoint`` flattens lineage so round
+    t+1's plan does not replay rounds 1..t.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    out_edges = e.join(deg, "src").persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Total triangles in the undirected graph induced by ``edges``.
+
+    Canonical-order join: keep each undirected edge once as (lo, hi);
+    two-paths (a<b, b<c) close into triangles iff (a, c) is also an edge.
+    Returns a single row (n_triangles).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ab = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    two_paths = ab.join(bc, "y").select("x", "y", "z")
+    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        two_paths.join(closing, ["x", "z"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

@@ -1,0 +1,185 @@
+"""Temporal joins over event/transcript streams: as-of join and
+windowed range join.
+
+Why these exist here: transcript analytics constantly asks "what was the
+latest X before this turn/event" (as-of) and "how many X in the window
+before this event" (range) — e.g. joining each tool-call turn to the most
+recent user instruction, or counting retries in the preceding minute.
+Spark has no ASOF JOIN operator (SPARK-22947 is open); the naive
+formulation — key equality plus a timestamp inequality — falls out of the
+equi-join planner entirely and becomes a per-key quadratic theta-join
+(BroadcastNestedLoopJoin or a sort-merge with full per-key pair
+enumeration). Both operators below restore the equi-join shape:
+
+- ``asof_join``: the union-tag trick. Tag right rows 0 and left rows 1,
+  union them into ONE frame, and take a running ``last(payload,
+  ignorenulls=True)`` over (key ORDER BY ts, tag). Each left row picks up
+  the latest right payload with right.ts <= left.ts (ties: right sorts
+  first, so same-instant rows match, matching DuckDB/kdb ASOF ">="
+  semantics). Cost: one shuffle on key + one sort — the same price as a
+  plain sort-merge join, with NO pair materialization at any key
+  cardinality or time density. This is the classic distributed as-of
+  design (pandas merge_asof per-partition is the single-node analog).
+- ``range_join_binned``: count/aggregate right rows in a per-left-row
+  window [left.ts - window, left.ts). Timestamps are binned to
+  ``window``-sized buckets; a right row lands in exactly one bucket and
+  any matching left row's window spans at most TWO buckets, so the left
+  side probes (bucket, bucket-1) via a 2-row explode and the join is a
+  plain equi-join on (key, bucket) with a final exact range filter.
+  Candidate fan-out is bounded by bucket occupancy (rows per key per
+  window-width), never by total per-key row count — the binned range
+  join Databricks ships as a range-join hint, expressed with built-ins.
+
+Both are pure DataFrame compositions — no UDFs, whole-stage codegen end
+to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_us(ts: Column) -> Column:
+    """Microseconds since epoch for TIMESTAMP or TIMESTAMP_NTZ columns
+    (``unix_micros`` rejects NTZ; the cast interprets NTZ in the session
+    zone — a constant shift that cancels in every difference/bucket use
+    here)."""
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row + the payload of the latest
+    right row with the same ``key`` and ``right_ts <= left_ts``.
+
+    Output: all left columns, plus ``<col>`` for each ``right_payload``
+    column and ``_asof_ts`` (the matched right timestamp) — all null when
+    no right row precedes the left row (left-outer semantics).
+
+    ``tolerance_sec`` nulls out matches older than the tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics) — the match is still the
+    *latest* preceding row, just rejected if stale.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    pl_fields = [F.col(c).alias(c) for c in right_payload]
+    pl = F.struct(F.col(right_ts).alias("_asof_ts"), *pl_fields)
+
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        pl.alias("_pl"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(
+            r.schema["_pl"].dataType
+        ).alias("_pl"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_pl", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if tolerance_sec is not None:
+        fresh = (
+            F.col("_m").isNotNull()
+            & (
+                epoch_us(F.col("_ts")) - epoch_us(F.col("_m._asof_ts"))
+                <= int(tolerance_sec * 1_000_000)
+            )
+        )
+        matched = matched.withColumn(
+            "_m", F.when(fresh, F.col("_m")).otherwise(F.lit(None))
+        )
+    return matched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col("_m._asof_ts").alias("_asof_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in right_payload],
+    )
+
+
+def _bucket(ts: Column, width_us: int) -> Column:
+    return F.floor(epoch_us(ts) / width_us).cast("long")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_sec: float,
+    left_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """For each left row, aggregate right rows with the same ``key`` in
+    the half-open window ``[left_ts - window_sec, left_ts)``.
+
+    Output: all left columns + the aggregate columns (``n_in_window`` by
+    default, or caller-supplied ``aggs`` over the matched right rows'
+    columns). Left rows with an empty window keep count 0 / null aggs
+    (left-outer semantics via join-back on ``left_id``, which must be a
+    unique row key — a hash or generated id would either merge duplicate
+    rows or recompute nondeterministically across the two plan branches).
+
+    Scale shape: equi-join on (key, time-bucket) with a 2-bucket probe
+    explode — candidate pairs are bounded by per-(key, window) density,
+    and the final exact filter runs post-join on already-matched rows.
+    """
+    width_us = int(window_sec * 1_000_000)
+
+    l = left.withColumn("_row_id", F.col(left_id))
+    probes = l.select(
+        "_row_id",
+        F.col(key).alias("_k"),
+        epoch_us(F.col(left_ts)).alias("_l_us"),
+        F.explode(
+            F.array(
+                _bucket(F.col(left_ts), width_us),
+                _bucket(F.col(left_ts), width_us) - 1,
+            )
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        _bucket(F.col(right_ts), width_us).alias("_bucket"),
+        epoch_us(F.col(right_ts)).alias("_r_us"),
+        *[c for c in right.columns if c not in (key, right_ts)],
+    )
+
+    matched = probes.join(r, ["_k", "_bucket"]).filter(
+        (F.col("_r_us") >= F.col("_l_us") - width_us)
+        & (F.col("_r_us") < F.col("_l_us"))
+    )
+    aggs = aggs or [F.count("*").cast("long").alias("n_in_window")]
+    per_left = matched.groupBy("_row_id").agg(*aggs)
+    agg_names = [a for a in per_left.columns if a != "_row_id"]
+
+    out = l.join(per_left, "_row_id", "left").drop("_row_id")
+    if "n_in_window" in agg_names:
+        out = out.withColumn(
+            "n_in_window", F.coalesce("n_in_window", F.lit(0))
+        )
+    return out

@@ -1,0 +1,144 @@
+"""Incremental KG maintenance: merge a delta batch of fused triples into
+the materialized edges table.
+
+The reference rebuilds an isolated KG per request (kg_construction.py:
+267-282); a 10^12-turn corpus pipeline instead materializes nodes/edges
+tables once and folds each new transcript batch in. On Iceberg this is
+``MERGE INTO edges USING delta ON identity`` — row-level upsert with
+copy-on-write/merge-on-read handled by the table format. The operator
+below is the engine-side semantics of that merge, expressed as one
+full-outer-shaped aggregation so it also runs against plain parquet
+(read base → merge → overwrite-partition), which is how the tests and
+the DuckDB oracle exercise it.
+
+Merge semantics per edge identity (subj_url, pred_url, obj_url):
+- ``score``:   max(base, delta) — the best evidence wins (same rule as
+  the in-batch P22 dedup, fusion.py).
+- ``support``: base + delta occurrence counts — evidence accumulates.
+- ``n_convs``: count of distinct contributing conversations.
+
+Scale shape: ONE hash shuffle on the edge identity (union → groupBy).
+The base table side arrives pre-aggregated (one row per identity), so
+the agg's map-side partial combine collapses the delta's duplicates
+before the shuffle; with the base stored bucketed by identity hash (or
+as Iceberg MERGE with its identity join), the base side never reshuffles
+at all. No windows, no joins, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EDGE_KEY = ["subj_url", "pred_url", "obj_url"]
+
+
+def edges_from_triples(triples: DataFrame) -> DataFrame:
+    """Per-batch edges table from fused per-conversation triples
+    (the P22 output shape): one row per edge identity with max score,
+    occurrence support, and distinct contributing conversations."""
+    return (
+        triples
+        .groupBy(*EDGE_KEY)
+        .agg(
+            F.max("score").alias("score"),
+            F.count("*").cast("long").alias("support"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def merge_edges(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold ``delta`` (same schema as ``edges_from_triples`` output) into
+    ``base``: full-outer merge by edge identity.
+
+    Equivalent Iceberg statement::
+
+        MERGE INTO edges b USING delta d
+        ON  b.subj_url = d.subj_url AND b.pred_url = d.pred_url
+            AND b.obj_url = d.obj_url
+        WHEN MATCHED THEN UPDATE SET
+            score = greatest(b.score, d.score),
+            support = b.support + d.support,
+            n_convs = b.n_convs + d.n_convs
+        WHEN NOT MATCHED THEN INSERT *
+
+    (``n_convs`` becomes an upper bound under repeated merges of the
+    same conversation — exact distinctness across batches would need a
+    sketch (HLL) or the conv-level edge log; batches are disjoint by
+    construction in the checkpointed pipeline, where each conv_id is
+    processed exactly once — plans/checkpoint.py manifests.)
+    """
+    return (
+        base.unionByName(delta)
+        .groupBy(*EDGE_KEY)
+        .agg(
+            F.max("score").alias("score"),
+            F.sum("support").cast("long").alias("support"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corruption): for each positive edge, ``k`` corrupted
+    copies with the object replaced by a pseudo-randomly chosen other
+    node.
+
+    Determinism + scale: nodes get a dense index by sort order (one
+    shuffle, computed once); corruption picks index
+    ``md5(edge_identity : i) mod N`` — an equi-join on the index, never
+    a cross join and no RNG state to ship, so the sample is reproducible
+    across runs/engines (the DuckDB oracle recomputes it exactly).
+    Corruptions that collide with the true object are kept but flagged
+    degenerate (``is_degenerate``) rather than resampled — resampling
+    loops are nondeterministic under retries; training loaders drop or
+    reweight flagged rows.
+
+    Output: (subj_url, pred_url, obj_url, neg_idx, neg_obj_url,
+    is_degenerate).
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        triples.select(F.col("subj_url").alias("node"))
+        .unionByName(triples.select(F.col("obj_url").alias("node")))
+        .distinct()
+    )
+    # dense 0..N-1 index; the single-partition window is over the (small
+    # relative to edges) node dictionary — at real scale swap for
+    # zipWithIndex-style per-partition offsets; semantics are identical
+    idx = nodes.withColumn(
+        "node_idx",
+        F.row_number().over(Window.orderBy("node")) - 1,
+    )
+    n_nodes = idx.count()
+
+    fanned = triples.select(*EDGE_KEY).distinct().select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_idx"),
+    ).withColumn(
+        "_pick",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", "subj_url", "pred_url", "obj_url", "neg_idx")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % n_nodes,
+    )
+    return (
+        fanned.join(idx, fanned["_pick"] == idx["node_idx"])
+        .select(
+            *EDGE_KEY,
+            "neg_idx",
+            F.col("node").alias("neg_obj_url"),
+            (F.col("node") == F.col("obj_url")).cast("int")
+            .alias("is_degenerate"),
+        )
+    )
