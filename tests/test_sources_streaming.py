@@ -124,3 +124,75 @@ def test_stream_to_graph_bridge(spark, tmp_path):
     q.awaitTermination(300)
     edges = spark.read.parquet(str(tmp_path / "graph" / "edges"))
     assert edges.count() == 10  # the bauhaus gold triples
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Watermarked content dedup: repeated texts within the horizon drop,
+    state is evictable (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import (
+        stream_transcripts, streaming_exact_dedup)
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    in_dir = tmp_path / "turns_dd"
+    spark.createDataFrame(
+        [("c1", 0, "user", "hello world", None, ts),
+         ("c1", 1, "user", "Hello   WORLD", None, ts),   # same after norm
+         ("c2", 0, "user", "hello world", None, ts),     # dup across convs
+         ("c2", 1, "user", "something else", None, ts)],
+        schemas.TRANSCRIPTS,
+    ).write.parquet(str(in_dir))
+
+    deduped = streaming_exact_dedup(stream_transcripts(spark, str(in_dir)))
+    q = (
+        deduped.writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(
+        r.text.lower().split()[0]
+        for r in spark.sql("SELECT * FROM dd_out").collect()
+    )
+    # one survivor per distinct normalized text
+    assert texts == ["hello", "something"]
+
+
+def test_stream_merge_edges_bridge(spark, tmp_path):
+    """foreachBatch MERGE bridge: batches fold into the versioned edges
+    table; a second identical run doubles support, not row count."""
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.sources import fixtures as fx
+    from waka_spark.streaming.ingest import run_stream_merge_edges
+
+    in_dir = tmp_path / "turns_me"
+    edges_dir = tmp_path / "edges_me"
+    fx.bauhaus_transcripts(spark).write.parquet(str(in_dir))
+    pipe = bauhaus_pipeline(spark, use_scorers=False)
+
+    q = run_stream_merge_edges(
+        spark, str(in_dir), pipe,
+        edges_path=str(edges_dir),
+        checkpoint_path=str(tmp_path / "ckpt_me"),
+    )
+    q.awaitTermination(300)
+    with open(edges_dir / "_CURRENT") as fh:
+        v1 = fh.read().strip()
+    first = spark.read.parquet(str(edges_dir / v1))
+    assert first.count() == 10
+    assert first.agg({"support": "sum"}).collect()[0][0] == 10
+
+    # replay the same input as a NEW stream (fresh checkpoint): merge, not
+    # append — row count stays, support doubles
+    q2 = run_stream_merge_edges(
+        spark, str(in_dir), pipe,
+        edges_path=str(edges_dir),
+        checkpoint_path=str(tmp_path / "ckpt_me2"),
+    )
+    q2.awaitTermination(300)
+    with open(edges_dir / "_CURRENT") as fh:
+        v2 = fh.read().strip()
+    second = spark.read.parquet(str(edges_dir / v2))
+    assert second.count() == 10
+    assert second.agg({"support": "sum"}).collect()[0][0] == 20

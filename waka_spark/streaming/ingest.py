@@ -108,6 +108,90 @@ def conversation_sessions(turns: DataFrame, timeout_ms: int = 60_000) -> DataFra
     )
 
 
+def streaming_exact_dedup(
+    turns: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated turn texts within the
+    watermark horizon — ``dropDuplicatesWithinWatermark`` keys state by
+    content hash and EVICTS it as the watermark passes, so dedup state is
+    bounded by (arrival rate x horizon), not corpus size. The streaming
+    face of ``operators/dedup.exact_dedup`` (same normalize+md5 key);
+    exact-forever dedup at rest belongs to the batch pass — at 10^12
+    turns, unbounded streaming state is the wrong tool."""
+    from waka_spark.operators.dedup import normalize_text
+
+    return (
+        turns
+        .withColumn("text_hash", F.md5(normalize_text(F.col("text"))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("text_hash")
+    )
+
+
+def run_stream_merge_edges(
+    spark: SparkSession,
+    input_path: str,
+    pipeline,
+    edges_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch bridge with MERGE semantics: each micro-batch's fused
+    triples fold into the materialized edges table via
+    ``plans/incremental.merge_edges`` — the engine-side Iceberg
+    ``MERGE INTO`` (on Iceberg the body becomes one ``MERGE`` statement
+    and the temp/rename dance disappears; see plans/incremental.py).
+
+    Parquet cannot overwrite a path while reading it, so the merge commits
+    via write-to-versioned-dir + repoint: each batch writes
+    ``{edges_path}/v{batch_id}`` and updates the ``_CURRENT`` pointer file
+    last (the commit point, same discipline as plans/checkpoint.py
+    manifests). Readers resolve ``_CURRENT`` → version dir.
+    """
+    import os
+
+    from waka_spark.plans.incremental import edges_from_triples, merge_edges
+
+    def current_version() -> int | None:
+        ptr = os.path.join(edges_path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip().lstrip("v"))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = pipeline.run(batch_df, resolve=True)
+        delta = edges_from_triples(out["triples"])
+        cur = current_version()
+        base = (
+            None if cur is None
+            else spark.read.parquet(os.path.join(edges_path, f"v{cur}"))
+        )
+        merged = delta if base is None else merge_edges(base, delta)
+        # monotone version from the pointer, NOT batch_id: a replayed or
+        # re-checkpointed stream restarts batch ids at 0, and writing a
+        # version while reading it (base) is undefined for parquet
+        version = f"v{0 if cur is None else cur + 1}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(edges_path, version))
+        tmp = os.path.join(edges_path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(edges_path, "_CURRENT"))
+
+    stream = stream_transcripts(spark, input_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_graph(
     spark: SparkSession,
     input_path: str,
