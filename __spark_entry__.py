@@ -1102,6 +1102,54 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_rule_triples_scored(spark, sf_dir), k=2)
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (revenue per nation, region-filtered, 6-table join):
+    the relational-substrate stressor for join ordering — region/nation/
+    supplier/customer broadcast, lineitem (the fact table) never shuffles
+    until the final nation agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(F.broadcast(s),
+              (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+    )
+
+
+def q_ann_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization summary (operators/ann.py): scale,
+    reconstruction MAE, and integer checksums of the quantized vector
+    (dims/min/max/sum/L1) — array-free output so the value-hash compare
+    is engine-portable."""
+    from waka_spark.operators.ann import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale", "recon_mae",
+        F.size("qvec").cast("int").alias("n_dims"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("q_sum"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, v: a + F.abs(v)).alias("q_l1"),
+    )
+
+
 def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile (operators/diagnostics.py) of events.user_id:
     top-20 heaviest keys with share-of-total and skew-vs-mean — the
@@ -1182,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_merge": q_kg_edges_merge,
         "kg_negative_samples": q_kg_negative_samples,
         "diag_key_skew": q_diag_key_skew,
+        "tpch_q5": q_tpch_q5,
+        "ann_quantize": q_ann_quantize,
     }
 
 
@@ -2317,6 +2367,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i.node = f.obj_url THEN 1 ELSE 0 END AS INT)
                      AS is_degenerate
             FROM fanned f JOIN idx i ON f.pick = i.node_idx
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON c_custkey = o_custkey
+            JOIN lineitem l ON o_orderkey = l_orderkey
+            JOIN supplier s ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+            JOIN nation n ON c_nationkey = n_nationkey
+            JOIN region r ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "ann_quantize": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            qq AS (
+              SELECT vec_id, scale,
+                     list_transform(v, x -> CAST(round(
+                       x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
+                       AS INT)) AS qvec,
+                     v
+              FROM q
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS scale,
+                   round(list_sum(list_transform(
+                     list_zip(v, qvec),
+                     p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)))
+                     / len(v), 6) AS recon_mae,
+                   CAST(len(qvec) AS INT) AS n_dims,
+                   CAST(list_min(qvec) AS INT) AS q_min,
+                   CAST(list_max(qvec) AS INT) AS q_max,
+                   CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT)
+                     AS q_l1
+            FROM qq
         """,
         "diag_key_skew": """
             WITH counts AS (
