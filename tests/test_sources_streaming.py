@@ -196,3 +196,43 @@ def test_stream_merge_edges_bridge(spark, tmp_path):
     second = spark.read.parquet(str(edges_dir / v2))
     assert second.count() == 10
     assert second.agg({"support": "sum"}).collect()[0][0] == 20
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Stream-stream interval join: clicks pair with purchases of the
+    same user in the preceding hour; watermark bounds state."""
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import (
+        stream_transcripts, streaming_interval_join)
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    in_a = tmp_path / "turns_ij_a"
+    in_b = tmp_path / "turns_ij_b"
+    # reuse the transcripts schema as a generic keyed event stream
+    spark.createDataFrame(
+        [("u1", 0, "purchase", "p0", None, t(30))],
+        schemas.TRANSCRIPTS,
+    ).write.parquet(str(in_a))
+    spark.createDataFrame(
+        [("u1", 0, "click", "in-window", None, t(0)),
+         ("u1", 1, "click", "same-instant-excluded", None, t(30)),
+         ("u2", 0, "click", "other-key", None, t(15))],
+        schemas.TRANSCRIPTS,
+    ).write.parquet(str(in_b))
+
+    joined = streaming_interval_join(
+        stream_transcripts(spark, str(in_a)),
+        stream_transcripts(spark, str(in_b)),
+        key="conv_id", window_sec=3600,
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ij_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ij_out").collect()
+    assert [(r.l_text, r.r_text) for r in rows] == [("p0", "in-window")]

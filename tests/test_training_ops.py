@@ -318,3 +318,22 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     key = lambda r: (r.q_id, r.rank)
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
     assert len({key(r) for r in ivf}) == 9
+
+
+def test_quantize_embeddings(spark):
+    """Int8 quantization: max-abs maps to ±127, zero vectors stay zero,
+    reconstruction error bounded by scale/2."""
+    from waka_spark.operators.ann import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    q1 = rows[1]
+    assert q1["qvec"] == [127, -64, 32, 0]        # 127*0.5=63.5 → HALF_UP 64
+    assert abs(q1["scale"] - 1.0 / 127) < 1e-6   # scale is rounded to 6dp
+    assert q1["recon_mae"] <= q1["scale"] / 2 + 1e-6
+    q2 = rows[2]
+    assert q2["qvec"] == [0, 0, 0, 0] and q2["scale"] == 0.0
+    assert q2["recon_mae"] == 0.0

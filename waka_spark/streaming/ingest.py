@@ -131,6 +131,45 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_sec: int = 3600,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: left rows pair with right rows of the
+    same ``key`` whose timestamp falls in ``[left_ts - window, left_ts)``
+    — the streaming counterpart of ``operators/temporal.range_join_binned``
+    (there the bound is a bucket equi-join; here Spark's stream-stream
+    join uses the interval condition itself to EVICT state: both sides
+    are watermarked, so buffered rows older than watermark + window drop,
+    keeping state bounded by rate x horizon at any corpus size).
+
+    Columns are prefixed ``l_`` / ``r_`` (a self-join of one stream would
+    otherwise collide).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"), F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns
+          if c not in (key, left_ts)],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"), F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, right_ts)],
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(
+            f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("r_ts") < F.col("l_ts"))
+    )
+    return l.join(r, cond)
+
+
 def run_stream_merge_edges(
     spark: SparkSession,
     input_path: str,
