@@ -1102,6 +1102,25 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_rule_triples_scored(spark, sf_dir), k=2)
 
 
+def q_dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the ops summary a dedup pass
+    reports (how much of the corpus sits in clusters of size k). One agg
+    over the canonical rows of ``dedup_clusters``; at 100 TB this is the
+    number that decides whether exact-tier collapse is worth scheduling
+    before the near-dup tier (see dedup_pipeline)."""
+    from waka_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = dedup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.8))
+    return (
+        labeled.filter(F.col("is_canonical") == 1)
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long"))
+    )
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (revenue per nation, region-filtered, 6-table join):
     the relational-substrate stressor for join ordering — region/nation/
@@ -1232,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_key_skew": q_diag_key_skew,
         "tpch_q5": q_tpch_q5,
         "ann_quantize": q_ann_quantize,
+        "dedup_cluster_hist": q_dedup_cluster_hist,
     }
 
 
@@ -2367,6 +2387,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i.node = f.obj_url THEN 1 ELSE 0 END AS INT)
                      AS is_degenerate
             FROM fanned f JOIN idx i ON f.pick = i.node_idx
+        """,
+        "dedup_cluster_hist": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) AS n_common
+              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+              WHERE n_common / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8
+            ),
+            sym AS (
+              SELECT doc_a a, doc_b b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s2.a, r.comp FROM sym s2 JOIN reach r ON s2.b = r.node
+            ),
+            canon AS (SELECT node, min(comp) AS canonical FROM reach GROUP BY node),
+            labeled AS (
+              SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
+              FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
+            ),
+            clusters AS (
+              SELECT canonical_id, count(*) AS cluster_size
+              FROM labeled GROUP BY 1
+            )
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM clusters GROUP BY cluster_size
         """,
         "tpch_q5": """
             SELECT n_name,
