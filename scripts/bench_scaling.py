@@ -66,8 +66,12 @@ def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
     # local[2], i.e. it over-penalizes the larger level on this
     # hypervisor-noisy guest; the unpinned config also keeps round-over-
     # round comparability of the recorded evidence.
+    # 4 shuffle partitions per core: with exactly one task per core per
+    # shuffle (sp=cpus), a Zipf-hot partition stalls its whole stage;
+    # 4x over-partitioning lets the scheduler pack around stragglers.
+    # Measured (round 2): local[8] 259.3s at sp=8 -> 231.5s at sp=32.
     spark = get_spark(
-        f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=4 * cpus
     )
     kb = synth.build_kb(200)
     pipe = KGPipeline(

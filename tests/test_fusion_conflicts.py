@@ -199,3 +199,45 @@ def test_conflict_resolution_cross_entity(spark):
     assert kept == {"i1"}  # Q2 lost its only mention → t2 dies
     urls = {r.url for r in entities_out.collect()}
     assert urls == {"Q1", "Q3"}
+
+
+def test_p24_incremental_matches_rescan():
+    """The lazy-heap fixpoint (_resolve_p24) removes exactly the same
+    mentions as the reference-shaped full-rescan loop, on randomized
+    corpora including dense overlap clusters (kg_construction.py:142-157
+    semantics; monotone-score argument in conflicts.py)."""
+    import copy
+    import json
+    import random
+
+    from waka_spark.operators.conflicts import _resolve_p24, _resolve_p24_rescan
+
+    rng = random.Random(1234)
+    for _ in range(60):
+        ents = []
+        for e in range(rng.randint(1, 15)):
+            ments = []
+            for _ in range(rng.randint(1, 6)):
+                s = rng.randint(0, rng.choice([5, 40]))  # dense + sparse spans
+                ments.append({
+                    "start_idx": s, "end_idx": s + rng.randint(1, 8),
+                    "text": "tok" + str(rng.randint(0, 15)),
+                    "e_type": "PER", "label": None, "description": None,
+                    "score": round(rng.random(), 3),
+                })
+            ents.append({
+                "conv_id": "c", "url": f"http://e/{e}",
+                "label": "tok" + str(rng.randint(0, 15)),
+                "mentions": ments,
+            })
+        a, b = copy.deepcopy(ents), copy.deepcopy(ents)
+        _resolve_p24_rescan([x for x in a if x["mentions"]])
+        _resolve_p24([x for x in b if x["mentions"]])
+
+        def dump(es):
+            return json.dumps(
+                [(e["url"], sorted(json.dumps(m, sort_keys=True)
+                                   for m in e["mentions"])) for e in es]
+            )
+
+        assert dump(a) == dump(b)

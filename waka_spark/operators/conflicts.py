@@ -28,7 +28,9 @@ union-find pass (plans/unionfind.py).
 
 from __future__ import annotations
 
+import heapq
 import json
+from collections import defaultdict
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -117,6 +119,93 @@ def _find_conflicts(entities: list[dict]) -> list[tuple[dict, dict]]:
     return conflicts
 
 
+def _static_score(entity: dict, mention: dict) -> float:
+    """The mention-count-independent factor of _conflict_score:
+    _conflict_score(e, m) == _static_score(e, m) / len(e["mentions"])."""
+    label = entity["label"]
+    text = mention["text"] or ""
+    dist = _label_distance(label, text)
+    denom = max(len(label) if label is not None else 0, len(text))
+    dist_score = 1 - (dist / denom) if denom else 0.0
+    return dist_score * len(text) * (mention["score"] or 0.0)
+
+
+def _resolve_p24_rescan(live: list[dict]) -> None:
+    """Reference-shaped loop (full conflict re-scan per removal) — fallback
+    for the never-observed case of a negative mention score, where the
+    monotone-score argument behind the lazy heap does not hold."""
+    conflicts = _find_conflicts(live)
+    while conflicts:
+        conflicts.sort(key=lambda pair: (
+            _conflict_score(pair[0], pair[1]),
+            pair[0]["url"] or "",
+            pair[1]["start_idx"] if pair[1]["start_idx"] is not None else -1,
+            pair[1]["end_idx"] if pair[1]["end_idx"] is not None else -1,
+        ))
+        entity, mention = conflicts[0]
+        entity["mentions"] = [m for m in entity["mentions"] if m is not mention]
+        live = [e for e in live if e["mentions"]]
+        conflicts = _find_conflicts(live)
+
+
+def _resolve_p24(live: list[dict]) -> None:
+    """Incremental cross-entity fixpoint: identical removal sequence to
+    _resolve_p24_rescan (see _resolve_group comment for the monotonicity
+    proof), O((m + pairs) log m) instead of O(removals * m log m)."""
+    items = []
+    nodes: list[tuple[int, dict, dict, float]] = []  # (ent_idx, ent, mention, static)
+    for k, ent in enumerate(live):
+        for m in ent["mentions"]:
+            if m["start_idx"] is None or m["end_idx"] is None:
+                continue
+            nid = len(nodes)
+            static = _static_score(ent, m)
+            if static < 0:
+                _resolve_p24_rescan(live)
+                return
+            nodes.append((k, ent, m, static))
+            items.append((m["start_idx"], m["end_idx"], nid, nid))
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for n1, n2 in _overlapping_pairs(items):
+        if nodes[n1][0] == nodes[n2][0]:
+            continue  # cross-entity only
+        adj[n1].add(n2)
+        adj[n2].add(n1)
+
+    ent_version = [0] * len(live)
+
+    def entry(nid: int) -> tuple:
+        k, ent, m, static = nodes[nid]
+        return (
+            static / len(ent["mentions"]),
+            ent["url"] or "",
+            m["start_idx"],
+            m["end_idx"],
+            nid,
+            ent_version[k],
+        )
+
+    heap = [entry(nid) for nid in adj]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    while heap:
+        _, _, _, _, nid, ver = heapq.heappop(heap)
+        if nid in removed or not adj.get(nid):
+            continue  # already pruned, or no longer in any conflict
+        k, ent, m, _static = nodes[nid]
+        if ver != ent_version[k]:
+            # stale (the entity lost a mention since push -> score grew);
+            # old key was a lower bound, so recompute and re-push
+            heapq.heappush(heap, entry(nid))
+            continue
+        ent["mentions"] = [mm for mm in ent["mentions"] if mm is not m]
+        ent_version[k] += 1
+        removed.add(nid)
+        for nb in adj.pop(nid):
+            adj[nb].discard(nid)
+
+
 def _resolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
     entities = []
     for _, row in pdf.sort_values("url").iterrows():
@@ -151,19 +240,19 @@ def _resolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
             ]
 
     # ---- P24: cross-entity fixpoint loop ----------------------------------
+    # Incremental formulation of kg_construction.py:142-157. The reference
+    # re-scans for conflicts after every removal; here the cross-entity
+    # overlap graph is built once and maintained under deletions. The
+    # selected pair each iteration is identical because
+    #   score = static_part / len(entity.mentions)
+    # with static_part >= 0, and len() only ever shrinks — so scores only
+    # increase over time and a lazy min-heap (entity-version stamps,
+    # recompute-and-repush on stale pop) always surfaces the true global
+    # minimum. Turns O(removals * m log m) per conversation into
+    # O((m + pairs) log m) — the Zipf-hot conversations stop being the
+    # longest task of the whole stage.
     live = [e for e in entities if e["mentions"]]
-    conflicts = _find_conflicts(live)
-    while conflicts:
-        conflicts.sort(key=lambda pair: (
-            _conflict_score(pair[0], pair[1]),
-            pair[0]["url"] or "",
-            pair[1]["start_idx"] if pair[1]["start_idx"] is not None else -1,
-            pair[1]["end_idx"] if pair[1]["end_idx"] is not None else -1,
-        ))
-        entity, mention = conflicts[0]
-        entity["mentions"] = [m for m in entity["mentions"] if m is not mention]
-        live = [e for e in live if e["mentions"]]
-        conflicts = _find_conflicts(live)
+    _resolve_p24(live)
 
     out = [
         {
