@@ -1178,6 +1178,49 @@ def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=20)
 
 
+def q_curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/curation.py):
+    downsample the dominant crawl language (en → 30%) while keeping the
+    rest — the pre-training-mix rebalance, reproducible across engines."""
+    from waka_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", {"en": 0.3}
+    )
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/textstats.py): explode →
+    two hash-aggs → term equi-join → per-doc window (never a global sort)."""
+    from waka_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_ann_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via per-partition numpy GEMM over Arrow batches
+    (operators/ann.matmul_topk): same answer as ann_cosine_topk, but the
+    corpus is never pair-materialized — each batch emits only its top-k
+    candidates per query. Oracle: identical SQL to ann_cosine_topk."""
+    from waka_spark.operators.ann import matmul_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return matmul_topk(emb, queries, k=5)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel per user (operators/
+    temporal.py): single-shuffle greedy-earliest walk via a sorted-array
+    aggregate, vs the k-join cascade the oracle runs."""
+    from waka_spark.operators.temporal import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1252,6 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "ann_quantize": q_ann_quantize,
         "dedup_cluster_hist": q_dedup_cluster_hist,
+        "curation_sample_stratified": q_curation_sample_stratified,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "events_funnel": q_events_funnel,
+        "ann_matmul_topk": q_ann_matmul_topk,
     }
 
 
@@ -2496,6 +2543,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
             FROM words WHERE word <> ''
             GROUP BY word ORDER BY freq DESC, word ASC LIMIT 100
+        """,
+        "curation_sample_stratified": """
+            WITH f AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS frac,
+                     CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS rate
+              FROM documents
+            )
+            SELECT doc_id, lang AS stratum, rate, round(frac, 6) AS keep_frac
+            FROM f WHERE frac < rate
+        """,
+        "text_tfidf_topk": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM terms WHERE len(term) >= 3
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        # same semantics as ann_cosine_topk (matmul_topk is the exact GEMM
+        # physical shape of the same logical query), so the oracle is the
+        # identical brute-force SQL
+        "ann_matmul_topk": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.q_vec, q.q_vec))), 6) AS cos
+              FROM embeddings e, q WHERE q.q_id <> e.vec_id
+            )
+            SELECT q_id, vec_id, cos, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS stage, 'view' AS step,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
         """,
     }
 

@@ -55,6 +55,11 @@ EXTRAS = [
     "events_range_join",
     "text_vocab_topk",
     "graph_pagerank",
+    "tpch_q5",
+    "curation_sample_stratified",
+    "text_tfidf_topk",
+    "events_funnel",
+    "ann_matmul_topk",
 ]
 
 

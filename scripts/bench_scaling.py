@@ -110,9 +110,17 @@ def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, input_dir: str) -> dict:
+def run_level(cpus: int, input_dir: str, bind_cores: bool = False) -> dict:
     cmd = [sys.executable, __file__, "--worker",
            "--cpus", str(cpus), "--input", input_dir]
+    if bind_cores:
+        # Faithful N-core-node emulation: bound the ENTIRE worker process
+        # (task slots + JVM GC/JIT pools + Python workers) to exactly N
+        # physical cores. Unbounded local[N] lets background JVM threads and
+        # Python workers spill onto the host's other 32-N vCPUs — which
+        # inflates the small level's throughput and understates scaling
+        # efficiency relative to a real N-core executor.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=14400,
         cwd=str(Path(__file__).resolve().parent.parent),
@@ -135,6 +143,11 @@ def main() -> None:
     ap.add_argument("--input", default=DEFAULT_INPUT)
     ap.add_argument("--n-convs", type=int, default=200000)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument(
+        "--bind-cores", action="store_true",
+        help="taskset each level's whole process to exactly N cores "
+             "(faithful N-core-node emulation; see run_level)",
+    )
     ap.add_argument("--out", default="BENCH.md")
     args = ap.parse_args()
 
@@ -149,7 +162,7 @@ def main() -> None:
     best: dict[int, dict] = {}
     for rep in range(args.repeats):
         for cpus in LEVELS:  # interleaved so noise windows hit both levels
-            r = run_level(cpus, args.input)
+            r = run_level(cpus, args.input, bind_cores=args.bind_cores)
             print(f"rep{rep} {json.dumps(r)}", file=sys.stderr)
             if cpus not in best or r["turns_per_sec"] > best[cpus]["turns_per_sec"]:
                 best[cpus] = r

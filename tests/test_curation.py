@@ -119,3 +119,26 @@ def test_pack_sequences_contiguous_offsets(spark):
             assert r["start_offset"] == offset
             assert r["seq_idx"] == offset // 64
             offset += r["n_tokens"]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from waka_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 4 else "de") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(docs, "lang", {"en": 0.25}).collect()
+
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    # non-listed strata keep everything (default_rate=1.0)
+    assert len(by_stratum["de"]) == 1000
+    # en kept ~25% (md5 is uniform; 3000 draws -> generous tolerance)
+    n_en = len(by_stratum["en"])
+    assert 600 < n_en < 900
+    # every surviving row satisfies its own threshold
+    assert all(r["keep_frac"] < r["rate"] + 1e-6 for r in out)
+    # bit-identical on re-run (hash-based, not RNG-based)
+    again = sorted(r["doc_id"] for r in
+                   stratified_sample(docs, "lang", {"en": 0.25}).collect())
+    assert again == sorted(r["doc_id"] for r in out)

@@ -161,3 +161,39 @@ def test_range_join_binned_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_greedy_cascade_semantics(spark):
+    from waka_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the full funnel in order
+            (1, "view", _ts(0)), (1, "click", _ts(1)), (1, "purchase", _ts(2)),
+            # u2 clicks BEFORE viewing -> click doesn't count; no purchase
+            (2, "click", _ts(0)), (2, "view", _ts(1)),
+            # u3 purchase before click -> stops at stage 2
+            (3, "view", _ts(0)), (3, "purchase", _ts(1)), (3, "click", _ts(2)),
+            # u4 same-instant view+click -> strict > blocks stage 2
+            (4, "view", _ts(5)), (4, "click", _ts(5)),
+            # u5 irrelevant events only
+            (5, "error", _ts(0)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["stage"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["step"] == "view" and out[1]["n_keys"] == 4   # u1 u2 u3 u4
+    assert out[2]["step"] == "click" and out[2]["n_keys"] == 2  # u1 u3
+    assert out[3]["step"] == "purchase" and out[3]["n_keys"] == 1  # u1
+
+
+def test_funnel_is_single_shuffle(spark):
+    from waka_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "view", _ts(0))], "user_id long, event_type string, ts timestamp"
+    )
+    plan = funnel(ev, ["view", "click"])._jdf.queryExecution().optimizedPlan().toString()
+    # one aggregate-walk exchange on the key; no self-joins in the plan
+    assert "Join" not in plan

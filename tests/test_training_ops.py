@@ -337,3 +337,56 @@ def test_quantize_embeddings(spark):
     q2 = rows[2]
     assert q2["qvec"] == [0, 0, 0, 0] and q2["scale"] == 0.0
     assert q2["recon_mae"] == 0.0
+
+
+def test_tfidf_topk_ranks_discriminative_terms(spark):
+    from waka_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra zebra quokka"),
+            (2, "common words words words appear everywhere"),
+            (3, "common appear appear unrelated filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # per-doc top-k only
+    assert all(r["rank"] <= 2 for r in rows.values())
+    # 'common' occurs in every doc -> idf = ln(4/4) = 0 -> never ranks
+    # above a doc-specific term
+    top1 = rows[(1, 1)]
+    assert top1["term"] == "zebra"          # tf=2, df=1 beats quokka tf=1
+    assert rows[(1, 2)]["term"] == "quokka"
+    assert top1["df"] == 1 and top1["tf"] == 2
+    assert rows[(2, 1)]["term"] == "words"
+
+
+def test_matmul_topk_matches_bruteforce(spark):
+    """The GEMM path is a physical rewrite of cosine_topk — answers must be
+    identical, including tie-breaks, across many partitions (per-batch
+    prune must not lose global winners)."""
+    import random
+
+    from waka_spark.operators.ann import cosine_topk, matmul_topk
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    # exact duplicates force cos=1.0 ties -> exercises the tie-break prune
+    rows += [(200 + j, list(rows[0][1])) for j in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(16)
+    q = emb.filter("vec_id < 2").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+
+    want = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["cos"])
+        for r in cosine_topk(emb, q, k=7).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["cos"])
+        for r in matmul_topk(emb, q, k=7).collect()
+    )
+    assert got == want

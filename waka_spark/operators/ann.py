@@ -296,6 +296,90 @@ def embedding_cosine_pairs(
     )
 
 
+def matmul_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k via per-partition numpy GEMM over Arrow batches —
+    the vectorized fast path for a *batch* of query vectors against a huge
+    corpus.
+
+    Same answer as :func:`cosine_topk`, different physical shape: instead
+    of exploding (corpus × queries) rows and evaluating the dot product as
+    a JVM expression per pair, the (small, broadcast-by-closure) normalized
+    query matrix multiplies each Arrow batch of corpus vectors in ONE BLAS
+    call (``M̂ @ Q̂ᵀ``), and each batch emits only its per-query top-k
+    candidates. The per-batch prune is ordered by the same
+    (rounded-cos DESC, vec_id ASC) key the final global window ranks by,
+    so the union of batch prefixes provably contains the global top-k —
+    exact even under ties. Candidate volume reaching the shuffle is
+    O(batches × queries × k), independent of corpus size; the corpus is
+    never shuffled and never pairs-materialized.
+
+    Rounding is half-away-from-zero at 6 decimals inside the kernel —
+    identical to Spark's ``F.round`` / DuckDB ``round`` — so the emitted
+    ``cos`` is already oracle-portable.
+    """
+    import numpy as np
+
+    q_rows = (
+        queries.select(F.col(q_id_col), F.col(q_vec_col))
+        .orderBy(q_id_col).collect()
+    )  # the query batch is the broadcast side: O(n_queries * dim), tiny
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(qn == 0, 1.0, qn)
+    kk = k + 1  # +1 slot: the query's own row is dropped post-shuffle
+
+    def _round6(x: "np.ndarray") -> "np.ndarray":
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            m = np.asarray(pdf["_vec"].to_list(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            sims = _round6((m / np.where(n == 0, 1.0, n)) @ qm.T)
+            take = min(kk, len(ids))
+            out_q, out_v, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                # prefix by the GLOBAL ranking key (cos desc, vec_id asc)
+                order = np.lexsort((ids, -sims[:, j]))[:take]
+                out_q.append(np.full(take, q_ids[j]))
+                out_v.append(ids[order])
+                out_c.append(sims[order, j])
+            yield pd.DataFrame({
+                "q_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cos": np.concatenate(out_c),
+            })
+
+    cand = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vec"),
+    ).mapInPandas(gen, "q_id long, vec_id long, cos double")
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

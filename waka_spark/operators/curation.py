@@ -260,6 +260,50 @@ def split_by_hash(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row with a
+    per-stratum probability (e.g. downsample the dominant language of a
+    crawl to rebalance a pre-training mix).
+
+    The keep decision is ``int(md5('strat:' || id)[:8], 16) / 2^32 <
+    rate(stratum)`` — uniform, reproducible across engines/runs, and
+    independent of :func:`split_by_hash`'s stream (different salt), so
+    sampling never correlates with the train/val/test assignment. Pure
+    column ops (a literal CASE on the stratum + one hash): zero shuffle,
+    trivially scan-parallel at any corpus size — unlike ``df.sample``,
+    whose per-partition RNG changes membership whenever partitioning
+    changes.
+    """
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("double") / F.lit(float(1 << 32))
+    )
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return (
+        df.withColumn("_keep_frac", F.round(frac, 6))
+        .withColumn("_rate", rate)
+        .filter(frac < rate)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            F.col("_rate").alias("rate"),
+            F.col("_keep_frac").alias("keep_frac"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -120,6 +120,77 @@ def asof_join(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: how many ``key``s completed step 1, then
+    step 2 strictly later, then step 3 strictly later than that, ... (the
+    classic product-analytics funnel; transcript analog: instruction →
+    tool-call → success within a conversation).
+
+    Semantics are the greedy-earliest cascade: stage *i* is reached iff an
+    event of ``steps[i]`` exists strictly after the earliest qualifying
+    occurrence of stage *i-1* (greedy-earliest maximizes reach, so this is
+    the standard "exists an ordered subsequence" answer). Ties on ``ts``
+    never advance two stages at one instant (strict ``>``), which keeps the
+    result independent of intra-instant event order.
+
+    Scale shape: ONE shuffle. Events are pre-filtered to the step types,
+    grouped by key, sorted in-group, and the funnel walk runs as a single
+    ``aggregate`` higher-order function over the sorted (ts, type) array —
+    no per-stage self-joins (the naive cascade is k joins = k shuffles).
+    Per-group state is bounded by events-per-key of the step types, the
+    same bound any sessionizer has. Output: one row per funnel stage,
+    ``(stage, step, n_keys)``, where n_keys counts keys whose reached
+    stage ≥ that stage.
+    """
+    relevant = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key).alias("_k"),
+        F.struct(
+            epoch_us(F.col(ts_col)).alias("us"),
+            F.col(type_col).alias("typ"),
+        ).alias("_ev"),
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    # state: (stage reached so far, ts of the event that reached it)
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(-(1 << 62)).cast("long").alias("t"),
+    )
+    walk = F.aggregate(
+        F.array_sort(F.collect_list("_ev")),
+        init,
+        lambda acc, ev: F.when(
+            (acc["stage"] < len(steps))
+            & (ev["typ"] == F.element_at(step_arr, acc["stage"] + 1))
+            & (ev["us"] > acc["t"]),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), ev["us"].alias("t")
+            ),
+        ).otherwise(acc),
+    )
+    reached = relevant.groupBy("_k").agg(walk["stage"].alias("reached"))
+    stages = [
+        F.struct(
+            F.lit(i + 1).cast("int").alias("stage"),
+            F.lit(s).alias("step"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return (
+        reached.select(
+            F.explode(F.array(*stages)).alias("st"), F.col("reached")
+        )
+        .filter(F.col("reached") >= F.col("st.stage"))
+        .groupBy(F.col("st.stage").alias("stage"), F.col("st.step").alias("step"))
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
 def _bucket(ts: Column, width_us: int) -> Column:
     return F.floor(epoch_us(ts) / width_us).cast("long")
 

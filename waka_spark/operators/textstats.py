@@ -95,6 +95,66 @@ def lang_id(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (the classic keyword-extraction
+    / quality-signal surface over a crawl).
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) with df = number
+    of docs containing the term. Terms shorter than ``min_len`` chars are
+    dropped (stopword-ish noise).
+
+    Scale shape: one explode → hash-agg keyed by (doc_id, term) for tf
+    (map-side partial combine), one hash-agg keyed by term for df, an
+    equi-join tf⋈df on term, and a per-doc top-k window partitioned by
+    doc_id (never a global sort). N is a single-row aggregate joined in by
+    broadcast — no driver collect in the plan. Key skew is bounded by
+    vocabulary Zipf on the df agg, which partial aggregation absorbs.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
