@@ -45,6 +45,11 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialize ONCE before iterating: sym is joined every round, and
+        # without the cut each round would replay the whole upstream edge
+        # plan (for dedup clustering that's the full shingle-join pair
+        # generation — measured 41.5s -> ~8s for dedup_clusters at sf0.1)
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
