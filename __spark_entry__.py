@@ -1221,6 +1221,31 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-prob under a corpus-trained unigram LM
+    (operators/textstats.py) — the cheap perplexity proxy for ranking
+    crawl text (CCNet-style)."""
+    from waka_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events (operators/
+    temporal.py): first-active week per user x active-week offsets."""
+    from waka_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def q_curation_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4 keep/drop verdict with per-gate attribution
+    (operators/curation.py): length, top-word, dup-bigram, punctuation."""
+    from waka_spark.operators.curation import filter_verdict
+
+    return filter_verdict(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1299,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": q_text_tfidf_topk,
         "events_funnel": q_events_funnel,
         "ann_matmul_topk": q_ann_matmul_topk,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "events_retention": q_events_retention,
+        "curation_filter_verdict": q_curation_filter_verdict,
     }
 
 
@@ -2604,6 +2632,91 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "text_unigram_logprob": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            ),
+            w AS (SELECT * FROM words WHERE word <> ''),
+            model AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+            tot AS (SELECT sum(wc) AS total FROM model)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(model.wc / CAST(tot.total AS DOUBLE))), 6)
+                     AS avg_nll
+            FROM w JOIN model USING (word) CROSS JOIN tot
+            GROUP BY w.doc_id
+        """,
+        "events_retention": """
+            WITH cohort AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+              FROM events GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+              FROM events
+            )
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(datediff('day', CAST(cohort_week AS DATE),
+                                 CAST(active_week AS DATE)) // 7 AS INT)
+                     AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "curation_filter_verdict": """
+            WITH w AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') ws
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, gram, count(*) c FROM (
+                SELECT doc_id, unnest(ws) AS gram FROM w
+              ) WHERE gram <> '' GROUP BY 1, 2
+            ),
+            wstats AS (
+              SELECT doc_id, sum(c) n_words, max(c) top_word_count
+              FROM wc GROUP BY 1
+            ),
+            bg AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 1, 1)
+                AND array_to_string(ws[i:i+1], ' ') <> ''
+            ),
+            bc AS (SELECT doc_id, gram, count(*) c FROM bg GROUP BY 1, 2),
+            bstats AS (
+              SELECT doc_id, sum(c) n_bigrams, count(*) n_distinct_bigrams
+              FROM bc GROUP BY 1
+            ),
+            punct AS (
+              SELECT doc_id,
+                     round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+                       AS punct_ratio
+              FROM documents
+            ),
+            flags AS (
+              SELECT wstats.doc_id,
+                     CAST(NOT (n_words BETWEEN 20 AND 100000) AS INT)
+                       AS bad_length,
+                     CAST(round(top_word_count / CAST(n_words AS DOUBLE), 6)
+                          > 0.20 AS INT) AS bad_top_word,
+                     CAST(round(COALESCE((n_bigrams - n_distinct_bigrams)
+                          / CAST(n_bigrams AS DOUBLE), 0.0), 6)
+                          > 0.30 AS INT) AS bad_dup_bigram,
+                     CAST(punct_ratio > 0.10 AS INT) AS bad_punct
+              FROM wstats
+              LEFT JOIN bstats USING (doc_id)
+              JOIN punct USING (doc_id)
+            )
+            SELECT doc_id, bad_length, bad_top_word, bad_dup_bigram,
+                   bad_punct,
+                   CAST((bad_length + bad_top_word + bad_dup_bigram
+                         + bad_punct) = 0 AS INT) AS keep
+            FROM flags
         """,
         "events_funnel": """
             WITH s1 AS (

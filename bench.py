@@ -60,6 +60,9 @@ EXTRAS = [
     "text_tfidf_topk",
     "events_funnel",
     "ann_matmul_topk",
+    "text_unigram_logprob",
+    "events_retention",
+    "curation_filter_verdict",
 ]
 
 

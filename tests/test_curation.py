@@ -142,3 +142,21 @@ def test_stratified_sample_rates_and_determinism(spark):
     again = sorted(r["doc_id"] for r in
                    stratified_sample(docs, "lang", {"en": 0.25}).collect())
     assert again == sorted(r["doc_id"] for r in out)
+
+
+def test_filter_verdict_gates_attributable(spark):
+    from waka_spark.operators.curation import filter_verdict
+
+    good = " ".join(f"w{i}" for i in range(30))
+    repeaty = " ".join(["spam"] * 40)
+    short = "too short"
+    puncty = "ok " * 25 + "!!!" * 40
+    docs = spark.createDataFrame(
+        [(1, good), (2, repeaty), (3, short), (4, puncty)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in filter_verdict(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["bad_top_word"] == 1
+    assert out[3]["keep"] == 0 and out[3]["bad_length"] == 1
+    assert out[4]["keep"] == 0 and out[4]["bad_punct"] == 1

@@ -197,3 +197,28 @@ def test_funnel_is_single_shuffle(spark):
     plan = funnel(ev, ["view", "click"])._jdf.queryExecution().optimizedPlan().toString()
     # one aggregate-walk exchange on the key; no self-joins in the plan
     assert "Join" not in plan
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    from waka_spark.operators.temporal import retention_cohorts
+
+    def day(n):  # Mondays: 2024-01-01 is a Monday
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=n)
+
+    ev = spark.createDataFrame(
+        [
+            (1, day(0)), (1, day(8)),          # u1: week0 cohort, active w0+w1
+            (2, day(1)),                        # u2: week0 cohort, only w0
+            (3, day(7)), (3, day(21)),          # u3: week1 cohort, w1 + w3(off 2)
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+           for r in retention_cohorts(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2      # u1, u2 in their cohort week
+    assert out[("2024-01-01", 1)] == 1      # u1 returns week 1
+    assert out[("2024-01-08", 0)] == 1      # u3 cohort week
+    assert out[("2024-01-08", 2)] == 1      # u3 returns 2 weeks later
+    assert ("2024-01-08", 1) not in out

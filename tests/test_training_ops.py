@@ -390,3 +390,20 @@ def test_matmul_topk_matches_bruteforce(spark):
         for r in matmul_topk(emb, q, k=7).collect()
     )
     assert got == want
+
+
+def test_unigram_logprob_ranks_rare_words_higher(spark):
+    from math import log
+
+    from waka_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the quokka")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: the x5, quokka x1, total 6
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["avg_nll"] - (-log(5 / 6))) < 1e-6
+    # doc 2 contains the rare word -> higher mean NLL (more surprising)
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]

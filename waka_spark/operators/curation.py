@@ -260,6 +260,55 @@ def split_by_hash(
     )
 
 
+def filter_verdict(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    max_top_word_frac: float = 0.20,
+    max_dup_bigram_frac: float = 0.30,
+    max_punct_ratio: float = 0.10,
+) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop verdict per document: the
+    length, repetition, and punctuation gates a pre-training pass applies
+    after dedup and before tokenization, with one boolean flag per gate so
+    drops are attributable (the ops requirement real filter pipelines
+    have — an unexplained 40% drop rate is undebuggable at 100 TB).
+
+    Composes :func:`repetition_stats` (explode+agg passes) with the pure
+    column-op punctuation ratio of ``textstats.quality_scores``; one join
+    on doc_id. Output: per-gate flags (1 = violated) + ``keep``.
+    """
+    text = F.col(text_col)
+    punct_ratio = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)
+    ) / F.greatest(F.length(text), F.lit(1))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+    )
+    rep = repetition_stats(df, id_col, text_col)
+    flags = base.join(rep, "doc_id").select(
+        "doc_id",
+        (~F.col("n_words").between(min_words, max_words)).cast("int")
+        .alias("bad_length"),
+        (F.col("top_word_frac") > max_top_word_frac).cast("int")
+        .alias("bad_top_word"),
+        (F.col("dup_bigram_frac") > max_dup_bigram_frac).cast("int")
+        .alias("bad_dup_bigram"),
+        (F.col("punct_ratio") > max_punct_ratio).cast("int")
+        .alias("bad_punct"),
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            (F.col("bad_length") + F.col("bad_top_word")
+             + F.col("bad_dup_bigram") + F.col("bad_punct")) == 0
+        ).cast("int"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -191,6 +191,47 @@ def funnel(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each later week they were active (the classic growth-analytics
+    triangle; transcript analog: conversations grouped by first-seen week
+    of a tool or entity).
+
+    Two hash-aggs and one equi-join, all keyed by ``key``: (1) first-active
+    week per key (min over the raw stream, map-side combine), (2) distinct
+    (key, active-week) pairs, (3) join 1⋈2 on key and count by
+    (cohort_week, week_offset). Weeks are ISO ``date_trunc('week')`` both
+    here and in the DuckDB oracle. No windows, no skew beyond per-user
+    event counts.
+    """
+    week = F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+    cohort = (
+        events.groupBy(F.col(key).alias("_k"))
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = (
+        events.select(F.col(key).alias("_k"), week.alias("active_week"))
+        .distinct()
+    )
+    return (
+        active.join(cohort, "_k")
+        .groupBy(
+            # ISO yyyy-MM-dd string, not DATE: engines/pandas render date
+            # scalars differently and the oracle compares stringified cells
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week"))
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+
+
 def _bucket(ts: Column, width_us: int) -> Column:
     return F.floor(epoch_us(ts) / width_us).cast("long")
 

@@ -155,6 +155,41 @@ def tfidf_topk(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-trained
+    unigram LM — the cheap perplexity proxy used to rank crawl text before
+    an expensive LM-based quality filter (CCNet-style, trained on the
+    corpus itself here; production swaps in a reference-corpus model table
+    through the same join).
+
+    avg_nll = mean over tokens of -ln(count(word)/total_tokens). Every
+    token has count ≥ 1 by construction (model == corpus), so no smoothing
+    branch. Scale shape: one explode feeding (a) the model hash-agg keyed
+    by word (map-side partials absorb Zipf) and (b) the scoring side,
+    which equi-joins the model on word and re-aggregates by doc — two
+    shuffles total; the corpus-total is a single-row agg broadcast in.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    model = words.groupBy("word").agg(F.count("*").alias("wc"))
+    total = model.select(F.sum("wc").alias("total"))
+    return (
+        words.join(model, "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("wc") / F.col("total"))), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
