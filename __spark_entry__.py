@@ -926,18 +926,7 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the Aho-Corasick rule extractor (identical output to the full
     e2e pipeline here — non-overlapping surfaces make fusion the
     identity) so the suite doesn't pay the whole fusion pipeline twice."""
-    from waka_spark import schemas
-    from waka_spark.operators.relations import aho_relation_extraction
-
-    docs = q_kg_assembly(spark, sf_dir)
-    rules = spark.createDataFrame(RULES, schemas.RELATION_RULES)
-    raw = aho_relation_extraction(docs, rules)
-    t = raw.select(
-        "conv_id",
-        F.concat(F.lit("http://example.org/Q_"), "subj_text").alias("subj_url"),
-        F.concat(F.lit("http://example.org/P_"), "pred_text").alias("pred_url"),
-        F.concat(F.lit("http://example.org/Q_"), "obj_text").alias("obj_url"),
-    ).distinct()
+    t = _rule_triples(spark, sf_dir)
     # single scan of the (expensive) triples plan: explode both endpoints
     # per row instead of unionAll-ing two selects, which would recompute
     # the whole e2e pipeline once per branch
@@ -1221,6 +1210,95 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rule_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (conv_id, subj_url, pred_url, obj_url) via the Aho-Corasick
+    rule extractor over assembled documents — the cheap exact stand-in for
+    the full fusion pipeline's triples (identical output here; see
+    q_kg_degree)."""
+    from waka_spark import schemas
+    from waka_spark.operators.relations import aho_relation_extraction
+
+    docs = q_kg_assembly(spark, sf_dir)
+    rules = spark.createDataFrame(RULES, schemas.RELATION_RULES)
+    raw = aho_relation_extraction(docs, rules)
+    return raw.select(
+        "conv_id",
+        F.concat(F.lit("http://example.org/Q_"), "subj_text").alias("subj_url"),
+        F.concat(F.lit("http://example.org/P_"), "pred_text").alias("pred_url"),
+        F.concat(F.lit("http://example.org/Q_"), "obj_text").alias("obj_url"),
+    ).distinct()
+
+
+def q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity card for the nodes table: degree, conversation support,
+    and the argmax predicate (ties -> lexicographically first) — the
+    attribute-enriched nodes materialization a KG serving layer reads.
+    Single scan of the triples plan (endpoint explode), one hash-agg per
+    (node, pred), one per-node argmax window."""
+    t = _rule_triples(spark, sf_dir)
+    ends = t.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj_url").alias("node"),
+                         F.col("pred_url").alias("pred"),
+                         F.col("conv_id"), F.lit(1).alias("is_out")),
+                F.struct(F.col("obj_url").alias("node"),
+                         F.col("pred_url").alias("pred"),
+                         F.col("conv_id"), F.lit(0).alias("is_out")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.pred", "e.conv_id", "e.is_out")
+    per_pred = ends.groupBy("node", "pred").agg(
+        F.count("*").alias("pred_count"),
+        F.sum("is_out").alias("out_cnt"),
+        F.countDistinct("conv_id").alias("conv_cnt"),
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("pred_count"), F.asc("pred")
+    )
+    totals = ends.groupBy("node").agg(
+        F.count("*").cast("long").alias("degree"),
+        F.sum("is_out").cast("long").alias("out_degree"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    top = (
+        per_pred.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("node", F.col("pred").alias("top_pred"),
+                F.col("pred_count").cast("long").alias("top_pred_count"))
+    )
+    return totals.join(top, "node")
+
+
+def q_kg_path_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop path enumeration over the KG edges (a -[p1]-> b -[p2]-> c):
+    one equi-join on the mid node over the deduped edge list, counting
+    conversation support per path — the traversal shape KG QA runs."""
+    t = _rule_triples(spark, sf_dir)
+    e1 = t.select(F.col("subj_url").alias("a"), F.col("pred_url").alias("p1"),
+                  F.col("obj_url").alias("b"), F.col("conv_id"))
+    e2 = t.select(F.col("subj_url").alias("b"), F.col("pred_url").alias("p2"),
+                  F.col("obj_url").alias("c"))
+    return (
+        e1.join(e2.distinct(), "b")
+        .groupBy("a", "p1", "b", "p2", "c")
+        .agg(F.countDistinct("conv_id").cast("long").alias("n_convs"))
+    )
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quartiles (linear interpolation) — the
+    distribution profile a mix designer reads before setting curation
+    thresholds. Spark's exact percentile == DuckDB quantile_cont."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q75"),
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean negative log-prob under a corpus-trained unigram LM
     (operators/textstats.py) — the cheap perplexity proxy for ranking
@@ -1327,6 +1405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_retention": q_events_retention,
         "curation_filter_verdict": q_curation_filter_verdict,
+        "kg_entity_summary": q_kg_entity_summary,
+        "kg_path_2hop": q_kg_path_2hop,
+        "text_length_quantiles": q_text_length_quantiles,
     }
 
 
@@ -2632,6 +2713,66 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "kg_entity_summary": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            ends AS (
+              SELECT subj_url AS node, pred_url AS pred, conv_id, 1 AS is_out
+              FROM triples
+              UNION ALL
+              SELECT obj_url, pred_url, conv_id, 0 FROM triples
+            ),
+            totals AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree,
+                     CAST(sum(is_out) AS BIGINT) AS out_degree,
+                     CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+              FROM ends GROUP BY node
+            ),
+            per_pred AS (
+              SELECT node, pred, count(*) AS pred_count
+              FROM ends GROUP BY node, pred
+            ),
+            top AS (
+              SELECT node, pred AS top_pred,
+                     CAST(pred_count AS BIGINT) AS top_pred_count
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY node
+                  ORDER BY pred_count DESC, pred ASC) AS r
+                FROM per_pred
+              ) WHERE r = 1
+            )
+            SELECT totals.node, degree, out_degree, n_convs,
+                   top_pred, top_pred_count
+            FROM totals JOIN top ON totals.node = top.node
+        """,
+        "kg_path_2hop": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            e2 AS (
+              SELECT DISTINCT subj_url AS b, pred_url AS p2, obj_url AS c
+              FROM triples
+            )
+            SELECT e1.subj_url AS a, e1.pred_url AS p1, e1.obj_url AS b,
+                   e2.p2, e2.c,
+                   CAST(count(DISTINCT e1.conv_id) AS BIGINT) AS n_convs
+            FROM triples e1 JOIN e2 ON e1.obj_url = e2.b
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        "text_length_quantiles": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q75
+            FROM documents GROUP BY lang
         """,
         "text_unigram_logprob": """
             WITH words AS (

@@ -63,6 +63,9 @@ EXTRAS = [
     "text_unigram_logprob",
     "events_retention",
     "curation_filter_verdict",
+    "kg_entity_summary",
+    "kg_path_2hop",
+    "text_length_quantiles",
 ]
 
 

@@ -222,3 +222,100 @@ def test_retention_cohorts_triangle(spark):
     assert out[("2024-01-08", 0)] == 1      # u3 cohort week
     assert out[("2024-01-08", 2)] == 1      # u3 returns 2 weeks later
     assert ("2024-01-08", 1) not in out
+
+
+def test_funnel_matches_reference_walk_on_random_streams(spark):
+    """Property check: the single-shuffle aggregate walk equals a plain
+    Python greedy-earliest cascade on randomized event streams (ties,
+    missing steps, repeated steps, irrelevant types)."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(42)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "scroll"]
+    rows = []
+    for user in range(60):
+        for _ in range(rnd.randint(0, 12)):
+            rows.append((
+                user,
+                rnd.choice(types),
+                dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=rnd.randint(0, 20)),  # dense -> many ts ties
+            ))
+    if not rows:
+        rows = [(0, "view", dt.datetime(2024, 1, 1))]
+
+    def reference_reached(user_rows):
+        stage, t = 0, None
+        for ts, typ in sorted((r[2], r[1]) for r in user_rows):
+            if stage < len(steps) and typ == steps[stage] and (
+                t is None or ts > t
+            ):
+                stage, t = stage + 1, ts
+        return stage
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    want = {
+        s: sum(1 for u in by_user.values() if reference_reached(u) >= s)
+        for s in (1, 2, 3)
+    }
+    want = {s: n for s, n in want.items() if n > 0}
+
+    from waka_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    got = {r["stage"]: r["n_keys"] for r in funnel(ev, steps).collect()}
+    assert got == want
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check vs pandas merge_asof (the single-node reference
+    implementation of backward as-of semantics)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(9)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, rnd.choice("AB"), base + dt.timedelta(seconds=rnd.randint(0, 99)))
+        for i in range(40)
+    ]
+    right_rows = [
+        (rnd.choice("ABC"), base + dt.timedelta(seconds=rnd.randint(0, 99)),
+         float(i))
+        for i in range(30)
+    ]
+    # pandas merge_asof requires unique-ish ordering; it takes the LAST of
+    # equal-ts right rows per key, matching our (ts, tag) window order only
+    # if we dedup equal (key, ts) to the last payload first
+    rdf = (
+        pd.DataFrame(right_rows, columns=["sym", "ts", "px"])
+        .sort_values(["ts"])
+        .groupby(["sym", "ts"], as_index=False).last()
+        .sort_values("ts")
+    )
+    ldf = pd.DataFrame(left_rows, columns=["trade_id", "sym", "ts"]).sort_values("ts")
+    want_df = pd.merge_asof(ldf, rdf, on="ts", by="sym", direction="backward")
+    want = {
+        int(r.trade_id): (None if pd.isna(r.px) else float(r.px))
+        for r in want_df.itertuples()
+    }
+
+    from waka_spark.operators.temporal import asof_join
+
+    trades = spark.createDataFrame(
+        left_rows, "trade_id int, sym string, ts timestamp")
+    quotes = spark.createDataFrame(
+        [(s, t, p) for s, t, p in right_rows],
+        "sym string, ts timestamp, px double")
+    got = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, key="sym").collect()
+    }
+    assert got == want
