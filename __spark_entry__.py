@@ -1091,6 +1091,87 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_rule_triples_scored(spark, sf_dir), k=2)
 
 
+def q_kg_nodes_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NODES-table maintenance (plans/incremental.py): node
+    stats built from even conversations merged with the odd-conv delta —
+    the nodes half of the north star's materialized nodes/edges tables.
+    Oracle = full recompute over all conversations (merge algebra ==
+    rebuild, same pinning strategy as kg_edges_merge)."""
+    from waka_spark.plans.incremental import merge_nodes, nodes_from_triples
+
+    t = _rule_triples_scored(spark, sf_dir)
+    even = t.filter(F.col("conv_id").cast("int") % 2 == 0)
+    odd = t.filter(F.col("conv_id").cast("int") % 2 == 1)
+    merged = merge_nodes(nodes_from_triples(even), nodes_from_triples(odd))
+    return merged.withColumn("score", F.round("score", 6))
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round synchronous label-propagation communities
+    (operators/graph.py) over the SimHash similarity graph — deterministic
+    (count desc → label asc tie-break), one join + agg + per-node argmax
+    per round, localCheckpoint cutting lineage between rounds."""
+    from waka_spark.operators.graph import label_propagation
+
+    return label_propagation(_simhash_graph(spark, sf_dir), n_iter=5).select(
+        F.col("node").alias("doc_id"), "community")
+
+
+def q_conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shape conversation stats over the full input_hint schema
+    (conv_id, turn_idx, role, text, tool, ts): per-conversation role mix,
+    tool-call profile, wall-clock span, and mean turn length. ONE hash agg
+    on conv_id (map-side partials); the ts math round-trips through real
+    timestamp types so the query exercises the timestamp column, while the
+    emitted span is a tz-free BIGINT of seconds."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = max(50, docs.count() // 100)
+    turn = (F.col("doc_id") / mod).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (turn % 3) + 1)
+    t = docs.select(
+        (F.col("doc_id") % mod).cast("string").alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        "text",
+        F.when(role == "tool",
+               F.concat(F.lit("tool_"), (turn % 2).cast("string")))
+        .alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("doc_id") % mod).cast("long") * 3600
+            + turn.cast("long") * 60
+        ).alias("ts"),
+    )
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("int")).cast("long")
+            .alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("int")).cast("long")
+            .alias("n_assistant"),
+            F.sum((F.col("role") == "tool").cast("int")).cast("long")
+            .alias("n_tool"),
+            F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long").alias("span_sec"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced domain resampling (operators/curation.py): cap each lang
+    at an equal share of the corpus via integer-exact deterministic
+    hashing — one tiny domain agg broadcast onto a zero-shuffle scan
+    filter."""
+    from waka_spark.operators.curation import balanced_resample
+
+    return balanced_resample(_t(spark, sf_dir, "documents"), domain_col="lang")
+
+
 def q_dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram — the ops summary a dedup pass
     reports (how much of the corpus sits in clusters of size k). One agg
@@ -1393,7 +1474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "text_vocab_topk": q_text_vocab_topk,
         "kg_edges_merge": q_kg_edges_merge,
+        "kg_nodes_merge": q_kg_nodes_merge,
         "kg_negative_samples": q_kg_negative_samples,
+        "graph_label_prop": q_graph_label_prop,
+        "conv_role_stats": q_conv_role_stats,
+        "curation_mixture": q_curation_mixture,
         "diag_key_skew": q_diag_key_skew,
         "tpch_q5": q_tpch_q5,
         "ann_quantize": q_ann_quantize,
@@ -1490,6 +1575,29 @@ def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, round(rank, 6) AS pagerank FROM r{n_iter}"
     )
+
+def _label_prop_sql(n_iter: int = 5) -> str:
+    """Fixed-round synchronous label propagation as chained CTEs (one per
+    round) — the SQL mirror of operators/graph.py:label_propagation. Every
+    node of the symmetrized graph has in-neighbors, so the per-round
+    frontier covers all of g_nodes and no keep-own-label branch is
+    needed (the Spark side's left-join fallback never fires either)."""
+    ctes = ["l0 AS (SELECT node, node AS community FROM g_nodes)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""l{i} AS (
+  SELECT node, community FROM (
+    SELECT e.dst AS node, l.community,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.community ASC) AS rn
+    FROM g_edges e JOIN l{i - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.community
+  ) WHERE rn = 1
+)""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        f"SELECT node AS doc_id, community FROM l{n_iter}"
+    )
+
 
 _ASSEMBLY_CTE = f"""
 conv AS (
@@ -2511,6 +2619,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS support,
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM scored GROUP BY 1, 2, 3
+        """,
+        "kg_nodes_merge": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            scored AS (
+              SELECT *, CAST(0.1 AS DOUBLE)
+                        + (CAST(conv_id AS INT) % 10) / CAST(10.0 AS DOUBLE) AS score
+              FROM triples
+            ),
+            ends AS (
+              SELECT subj_url AS url, conv_id, score, 1 AS is_subj FROM scored
+              UNION ALL SELECT obj_url, conv_id, score, 0 FROM scored
+            )
+            -- full recompute == merge(base_even, delta_odd): counts add,
+            -- score maxes, disjoint-parity distinct sums
+            SELECT url,
+                   CAST(sum(is_subj) AS BIGINT) AS n_as_subj,
+                   CAST(sum(1 - is_subj) AS BIGINT) AS n_as_obj,
+                   CAST(count(*) AS BIGINT) AS support,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   round(max(score), 6) AS score
+            FROM ends GROUP BY url
+        """,
+        "graph_label_prop": _label_prop_sql(n_iter=5),
+        "curation_mixture": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+            ),
+            t AS (
+              SELECT CAST(ceil(sum(n) / count(*)) AS BIGINT) AS share FROM c
+            )
+            SELECT d.doc_id,
+                   d.lang AS domain,
+                   c.n AS domain_rows,
+                   least((SELECT share FROM t), c.n) AS domain_budget
+            FROM documents d JOIN c ON d.lang = c.lang
+            WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) % 1000000) * c.n
+                  < least((SELECT share FROM t), c.n) * 1000000
+        """,
+        "conv_role_stats": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     {_TURN} AS turn_idx,
+                     ['user', 'assistant', 'tool'][(({_TURN}) % 3) + 1] AS role,
+                     text
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool,
+                   CAST(count(DISTINCT CASE WHEN role = 'tool'
+                        THEN 'tool_' || CAST(turn_idx % 2 AS VARCHAR) END)
+                        AS BIGINT) AS n_distinct_tools,
+                   CAST((max(turn_idx) - min(turn_idx)) * 60 AS BIGINT)
+                        AS span_sec,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM t GROUP BY conv_id
         """,
         "kg_negative_samples": f"""
             WITH {_ASSEMBLY_CTE},

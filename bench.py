@@ -66,6 +66,10 @@ EXTRAS = [
     "kg_entity_summary",
     "kg_path_2hop",
     "text_length_quantiles",
+    "kg_nodes_merge",
+    "graph_label_prop",
+    "conv_role_stats",
+    "curation_mixture",
 ]
 
 

@@ -160,3 +160,29 @@ def test_filter_verdict_gates_attributable(spark):
     assert out[2]["keep"] == 0 and out[2]["bad_top_word"] == 1
     assert out[3]["keep"] == 0 and out[3]["bad_length"] == 1
     assert out[4]["keep"] == 0 and out[4]["bad_punct"] == 1
+
+
+def test_balanced_resample(spark):
+    from waka_spark.operators.curation import balanced_resample
+
+    # 12 'a' rows, 3 'b' rows, 3 'c' rows -> share = ceil(18/3) = 6:
+    # 'a' is downsampled toward 6, 'b'/'c' kept whole
+    rows = [(i, "a") for i in range(12)] + \
+           [(i, "b") for i in range(100, 103)] + \
+           [(i, "c") for i in range(200, 203)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_resample(df, domain_col="lang").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # tail domains kept whole (budget >= n)
+    assert len(by_dom["b"]) == 3 and len(by_dom["c"]) == 3
+    # head domain strictly downsampled, never over budget metadata
+    assert 0 < len(by_dom["a"]) < 12
+    assert all(r["domain_budget"] == 6 for r in by_dom["a"])
+    assert all(r["domain_rows"] == 12 for r in by_dom["a"])
+
+    # deterministic: same membership under different partitioning
+    out2 = balanced_resample(df.repartition(7), domain_col="lang").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in out2)

@@ -90,3 +90,33 @@ def test_key_skew_profile_is_take_ordered(spark):
     plan = key_skew_profile(df, "k", top_n=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nodes_from_triples(spark):
+    from waka_spark.plans.incremental import nodes_from_triples
+
+    rows = {
+        r["url"]: (r["n_as_subj"], r["n_as_obj"], r["support"],
+                   r["n_convs"], r["score"])
+        for r in nodes_from_triples(_triples(spark)).collect()
+    }
+    # A: subj of 3 triples (c1, c2x2), never obj; best score 0.9
+    assert rows["A"] == (3, 0, 3, 2, 0.9)
+    # B: obj twice (c1, c2), subj once (c3)
+    assert rows["B"] == (1, 2, 3, 3, 0.9)
+    # C: obj twice (c2 P2, c3 P1)
+    assert rows["C"] == (0, 2, 2, 2, 0.7)
+
+
+def test_merge_nodes_equals_rebuild(spark):
+    from waka_spark.plans.incremental import merge_nodes, nodes_from_triples
+
+    t = _triples(spark)
+    base = nodes_from_triples(t.filter(F.col("conv_id") != "c3"))
+    delta = nodes_from_triples(t.filter(F.col("conv_id") == "c3"))
+    cols = ("url", "n_as_subj", "n_as_obj", "support", "n_convs", "score")
+    merged = {tuple(r[k] for k in cols)
+              for r in merge_nodes(base, delta).collect()}
+    rebuilt = {tuple(r[k] for k in cols)
+               for r in nodes_from_triples(t).collect()}
+    assert merged == rebuilt

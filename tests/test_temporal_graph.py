@@ -319,3 +319,38 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in asof_join(trades, quotes, key="sym").collect()
     }
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by a single bridge edge: synchronous LPA with
+    the min-label tie-break converges each triangle to its own min label;
+    the bridge is too weak to merge them in 5 rounds."""
+    from waka_spark.operators.graph import label_propagation, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),          # clique {1,2,3}
+         (10, 11), (11, 12), (10, 12),    # clique {10,11,12}
+         (3, 10)],                        # bridge
+        "doc_a int, doc_b int",
+    )
+    out = {r["node"]: r["community"]
+           for r in label_propagation(symmetrize(pairs), n_iter=5).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_label_propagation_deterministic(spark):
+    """Same input at different partitioning -> identical labels (the
+    synchronous + total-order tie-break guarantee)."""
+    from waka_spark.operators.graph import label_propagation, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a int, doc_b int")
+    e1 = symmetrize(pairs).repartition(1)
+    e8 = symmetrize(pairs).repartition(8)
+    r1 = sorted((r["node"], r["community"])
+                for r in label_propagation(e1, n_iter=3).collect())
+    r8 = sorted((r["node"], r["community"])
+                for r in label_propagation(e8, n_iter=3).collect())
+    assert r1 == r8

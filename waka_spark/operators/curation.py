@@ -353,6 +353,67 @@ def stratified_sample(
     )
 
 
+def balanced_resample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    share: int | None = None,
+) -> DataFrame:
+    """Balanced domain resampling: cap every domain at an equal share of
+    the corpus (head domains downsampled, tail domains kept whole) — the
+    standard rebalancing pass before pre-training mixture weighting.
+
+    ``share`` is the per-domain row budget; default = ceil(total / k)
+    where k = number of domains, computed engine-side (one tiny agg
+    broadcast back onto the domain dimension — no driver collect).
+
+    Determinism at any scale: the keep decision is pure INTEGER
+    arithmetic — ``u * n_domain < min(share, n_domain) * 10^6`` with
+    ``u = int(md5('mix:' || id)[:8], 16) mod 10^6`` — so there is no
+    float rounding to drift between engines (the DuckDB oracle recomputes
+    membership exactly), no RNG state, and membership is independent of
+    partitioning. Salted differently from stratified_sample /
+    split_by_hash so the streams never correlate.
+
+    Scale shape: one count agg on the (small) domain dimension, broadcast
+    back; the scan itself filters with zero shuffle.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").cast("long").alias("_n"))
+    if share is None:
+        tot = counts.agg(
+            F.sum("_n").alias("_tot"), F.count("*").alias("_k"))
+        counts = (
+            counts.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "_share",
+                F.ceil(F.col("_tot") / F.col("_k")).cast("long"))
+            .drop("_tot", "_k")
+        )
+    else:
+        counts = counts.withColumn("_share", F.lit(int(share)).cast("long"))
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % F.lit(1_000_000)
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .filter(
+            u * F.col("_n")
+            < F.least(F.col("_share"), F.col("_n")) * F.lit(1_000_000))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            F.col("_n").alias("domain_rows"),
+            F.least(F.col("_share"), F.col("_n")).alias("domain_budget"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,5 +1,5 @@
-"""Graph analytics over materialized KG / similarity graphs: PageRank and
-triangle counting.
+"""Graph analytics over materialized KG / similarity graphs: PageRank,
+triangle counting, and label-propagation communities.
 
 The reference builds one isolated KG per request (kg_construction.py:
 267-282) and never analyzes graph structure; at corpus scale the
@@ -22,6 +22,13 @@ Scale shapes (both pure DataFrame ops, no UDFs):
   never enumerates a pair twice. Input edges are deduped + symmetrized
   first; skew guard is the standard one — high-degree nodes dominate the
   two-path fan-out, so callers cap degree upstream if the graph has hubs.
+- ``label_propagation``: SYNCHRONOUS LPA (all nodes update from the
+  previous round's labels simultaneously) with a total-order tie-break
+  (count desc → label asc), so the result is deterministic under any
+  partitioning — unlike classic asynchronous LPA, whose output depends
+  on visit order. Per round: one join (edges ⋈ labels on src, the same
+  co-partitioned shuffle as pagerank), one count agg, one per-node
+  argmax window; ``localCheckpoint`` cuts lineage per round.
 """
 
 from __future__ import annotations
@@ -97,6 +104,66 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation → (node, community).
+
+    Initialization: every node is its own label. Each round, a node
+    adopts the most frequent label among its in-neighbors' *previous*
+    labels, ties broken by smallest label — a deterministic, synchronous
+    variant (GraphX's LPA uses the same synchronous Pregel semantics;
+    asynchronous LPA is partition-order-dependent and therefore
+    unreproducible on a cluster). On a symmetrized edge list every node
+    has in-neighbors, so no keep-own-label fallback path is needed; for
+    general directed graphs, nodes without in-edges keep their label via
+    the left join.
+
+    Scale shape per round: labels ⋈ edges on src (hash join, the edge
+    side persisted once), groupBy (dst, label) with map-side partial
+    counts, then a per-node argmax window (partitioned by node — never a
+    global window). State shuffled per round is (node, label) only.
+    Fixed iteration budget keeps it oracle-portable (the SQL mirror
+    chains one CTE per round).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    labels = nodes.withColumn("community", F.col("node")).localCheckpoint(
+        eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("community").asc())
+    for _ in range(n_iter):
+        neigh = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+        labels = (
+            labels.join(neigh.withColumnRenamed("community", "_new"),
+                        "node", "left")
+            .select(
+                "node",
+                F.coalesce("_new", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -80,6 +80,57 @@ def merge_edges(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def nodes_from_triples(triples: DataFrame) -> DataFrame:
+    """Per-batch NODES table from fused per-conversation triples — the
+    other half of the north star's "materialize nodes/edges tables"
+    (edges_from_triples above). One row per entity url:
+
+    - ``n_as_subj`` / ``n_as_obj``: directed participation counts.
+    - ``support``: total triple occurrences touching the node.
+    - ``n_convs``: distinct conversations mentioning the node.
+    - ``score``: best evidence score across occurrences (max).
+
+    Scale shape: endpoint union (narrow) → ONE hash shuffle on url with
+    map-side partial combine. No windows, no joins.
+    """
+    ends = (
+        triples.select(
+            F.col("subj_url").alias("url"), "conv_id", "score",
+            F.lit(1).alias("is_subj"))
+        .unionByName(triples.select(
+            F.col("obj_url").alias("url"), "conv_id", "score",
+            F.lit(0).alias("is_subj")))
+    )
+    return (
+        ends.groupBy("url")
+        .agg(
+            F.sum("is_subj").cast("long").alias("n_as_subj"),
+            F.sum(1 - F.col("is_subj")).cast("long").alias("n_as_obj"),
+            F.count("*").cast("long").alias("support"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.max("score").alias("score"),
+        )
+    )
+
+
+def merge_nodes(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta batch's node stats into the materialized nodes table:
+    same MERGE INTO shape as merge_edges (counts add, score maxes,
+    ``n_convs`` exact under the checkpointed pipeline's disjoint batches
+    — see merge_edges for the caveat)."""
+    return (
+        base.unionByName(delta)
+        .groupBy("url")
+        .agg(
+            F.sum("n_as_subj").cast("long").alias("n_as_subj"),
+            F.sum("n_as_obj").cast("long").alias("n_as_obj"),
+            F.sum("support").cast("long").alias("support"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+            F.max("score").alias("score"),
+        )
+    )
+
+
 def negative_samples(
     triples: DataFrame,
     k: int = 2,
