@@ -1162,6 +1162,25 @@ def q_conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round k-core peeling (k=3) over the SimHash similarity graph
+    (operators/graph.py): per round two semi-joins + one count agg,
+    survivor state is the node set only."""
+    from waka_spark.operators.graph import k_core
+
+    return k_core(_simhash_graph(spark, sf_dir), k=3, n_iter=5).select(
+        F.col("node").alias("doc_id"), "degree")
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the SimHash similarity graph:
+    non-adjacent pairs sharing >= 3 neighbors — wedge self-join + count
+    agg + left-anti against existing edges (operators/graph.py)."""
+    from waka_spark.operators.graph import common_neighbors
+
+    return common_neighbors(_simhash_graph(spark, sf_dir), min_common=3)
+
+
 def q_curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced domain resampling (operators/curation.py): cap each lang
     at an equal share of the corpus via integer-exact deterministic
@@ -1479,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "conv_role_stats": q_conv_role_stats,
         "curation_mixture": q_curation_mixture,
+        "graph_kcore": q_graph_kcore,
+        "graph_common_neighbors": q_graph_common_neighbors,
         "diag_key_skew": q_diag_key_skew,
         "tpch_q5": q_tpch_q5,
         "ann_quantize": q_ann_quantize,
@@ -1596,6 +1617,25 @@ def _label_prop_sql(n_iter: int = 5) -> str:
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, community FROM l{n_iter}"
+    )
+
+
+def _kcore_sql(k: int = 3, n_iter: int = 5) -> str:
+    """Fixed-round k-core peeling as chained CTEs — the SQL mirror of
+    operators/graph.py:k_core (degrees over the symmetrized edge list,
+    survivors = degree >= k within the surviving subgraph)."""
+    ctes = ["a0 AS (SELECT node FROM g_nodes)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM g_edges e
+  JOIN a{i - 1} s ON e.src = s.node
+  JOIN a{i - 1} t ON e.dst = t.node
+  GROUP BY e.src HAVING count(*) >= {k}
+), a{i} AS (SELECT node FROM d{i})""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        f"SELECT node AS doc_id, degree FROM d{n_iter}"
     )
 
 
@@ -2647,6 +2687,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY url
         """,
         "graph_label_prop": _label_prop_sql(n_iter=5),
+        "graph_kcore": _kcore_sql(k=3, n_iter=5),
+        "graph_common_neighbors": f"""
+            WITH {_SIMHASH_GRAPH_CTES},
+            cn AS (
+              SELECT ea.src AS a, eb.src AS b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM g_edges ea JOIN g_edges eb
+                ON ea.dst = eb.dst AND ea.src < eb.src
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            ex AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM g_edges
+            )
+            SELECT cn.a AS node_a, cn.b AS node_b, cn.n_common
+            FROM cn LEFT JOIN ex ON cn.a = ex.a AND cn.b = ex.b
+            WHERE ex.a IS NULL
+        """,
         "curation_mixture": """
             WITH c AS (
               SELECT lang, CAST(count(*) AS BIGINT) AS n

@@ -354,3 +354,35 @@ def test_label_propagation_deterministic(spark):
     r8 = sorted((r["node"], r["community"])
                 for r in label_propagation(e8, n_iter=3).collect())
     assert r1 == r8
+
+
+def test_k_core_peels_tail(spark):
+    """Square {1,2,3,4} with a pendant tail 4-5: the 2-core is exactly the
+    square (tail peeled in round 1, square degrees stay 2)."""
+    from waka_spark.operators.graph import k_core, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)], "doc_a int, doc_b int")
+    out = {r["node"]: r["degree"]
+           for r in k_core(symmetrize(pairs), k=2, n_iter=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_k_core_empty_when_overpeeled(spark):
+    from waka_spark.operators.graph import k_core, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a int, doc_b int")  # path: no 2-core
+    assert k_core(symmetrize(pairs), k=2, n_iter=3).count() == 0
+
+
+def test_common_neighbors_square(spark):
+    """Square 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share two
+    neighbors and are non-adjacent; adjacent pairs are excluded."""
+    from waka_spark.operators.graph import common_neighbors, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "doc_a int, doc_b int")
+    got = {(r["node_a"], r["node_b"]): r["n_common"]
+           for r in common_neighbors(symmetrize(pairs), min_common=2).collect()}
+    assert got == {(1, 3): 2, (2, 4): 2}

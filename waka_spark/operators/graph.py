@@ -166,6 +166,93 @@ def label_propagation(
     return labels
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Nodes surviving ``n_iter`` rounds of k-core peeling → (node, degree).
+
+    Classic iterative peeling: drop every node whose degree (within the
+    surviving subgraph) is < k, recompute degrees, repeat. A fixed round
+    budget keeps it deterministic and oracle-portable; peeling converges
+    monotonically (the survivor set only shrinks), so ``n_iter`` rounds
+    give the exact k-core whenever convergence happens earlier, and a
+    documented over-approximation otherwise (callers bump ``n_iter``).
+    Degrees are over the symmetrized edge list (out-degree == degree).
+
+    Scale shape per round: one semi-join of edges against survivors per
+    endpoint (hash joins on the node key) + one count agg — survivor
+    state is (node) only; ``localCheckpoint`` cuts lineage each round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    alive = (
+        e.select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(n_iter):
+        live_edges = (
+            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        deg = (
+            live_edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree"))
+            .filter(F.col("degree") >= k)
+        )
+        alive = deg.select("node").localCheckpoint(eager=True)
+    return deg.localCheckpoint(eager=True)
+
+
+def common_neighbors(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph:
+    non-adjacent node pairs ranked by shared-neighbor count →
+    (node_a, node_b, n_common), ``node_a < node_b``.
+
+    The standard first-pass KG-completion / entity-consolidation signal:
+    two entities sharing many neighbors but no edge are merge or
+    link-prediction candidates.
+
+    Scale shape: one two-path self-join through the mid node (the same
+    wedge enumeration as triangle_count — hub nodes dominate the fan-out,
+    so degree-cap upstream on hubby graphs), one count agg on the pair,
+    one left-anti join against the existing edge set. ``min_common``
+    prunes the long tail of 1-wedge pairs before the anti-join.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    # wedges a—y—b with a<b: every unordered pair counted once per shared y
+    left = e.select(F.col("dst").alias("y"), F.col("src").alias("a"))
+    right = e.select(F.col("dst").alias("y"), F.col("src").alias("b"))
+    pairs = (
+        left.join(right, "y")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    existing = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return (
+        pairs.join(existing, ["a", "b"], "left_anti")
+        .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+                "n_common")
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Total triangles in the undirected graph induced by ``edges``.
 
