@@ -1424,6 +1424,78 @@ def q_curation_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict(_t(spark, sf_dir, "documents"))
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.py): per-user sessions
+    cut at 30-min silences; one shuffle on user_id, both window passes and
+    the rollup share its sort/partitioning."""
+    from waka_spark.operators.temporal import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800.0)
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour count/sum via a native RANGE frame
+    (operators/temporal.py) — sliding two-pointer over one sorted run,
+    no pair materialization."""
+    from waka_spark.operators.temporal import rolling_window
+
+    return rolling_window(_t(spark, sf_dir, "events"), window_sec=3600.0)
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity ROLLUP(event_type, day) counts + value sums —
+    the grouping-sets face of the relational substrate (Spark plans one
+    Expand + one partial-agg shuffle; subtotal rows are map-side
+    combined, never a second scan per level)."""
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_type",
+        F.date_format(
+            F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd"
+        ).alias("day"),
+        "value",
+    )
+    return (
+        prepped.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram NLL under the corpus-trained bigram LM
+    (operators/textstats.py) — the fluency step of the CCNet-style
+    quality ladder above unigram frequency."""
+    from waka_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop multi-source BFS distances over the SimHash similarity graph
+    (operators/graph.py) from deterministic seeds (doc_id % 97 == 0) —
+    Bellman-Ford relaxation as join + min-fold, localCheckpoint per
+    round."""
+    from waka_spark.operators.graph import bfs_distances
+
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return bfs_distances(_simhash_graph(spark, sf_dir), seeds, n_iter=4).select(
+        F.col("node").alias("doc_id"), "dist"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1507,6 +1579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample_stratified": q_curation_sample_stratified,
         "text_tfidf_topk": q_text_tfidf_topk,
         "events_funnel": q_events_funnel,
+        "events_sessionize": q_events_sessionize,
+        "events_rolling": q_events_rolling,
+        "events_rollup": q_events_rollup,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "graph_bfs": q_graph_bfs,
         "ann_matmul_topk": q_ann_matmul_topk,
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_retention": q_events_retention,
@@ -1567,6 +1644,28 @@ g_deg AS (SELECT src, count(*) AS outdeg FROM g_edges GROUP BY src),
 g_nodes AS (SELECT DISTINCT src AS node FROM g_edges),
 g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)
 """
+
+
+def _bfs_sql(n_iter: int = 4, seed_mod: int = 97) -> str:
+    """Fixed-round multi-source BFS as chained CTEs — the SQL mirror of
+    operators/graph.py:bfs_distances (one union + min-fold per round)."""
+    ctes = [
+        f"d0 AS (SELECT doc_id AS node, 0 AS dist FROM documents "
+        f"WHERE doc_id % {seed_mod} = 0)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM g_edges e JOIN d{i - 1} d ON e.src = d.node
+  ) GROUP BY node
+)""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        f"SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM d{n_iter}"
+    )
 
 
 def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -3117,6 +3216,87 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
         """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                     ) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) AS BIGINT) AS end_us,
+                   CAST(max(us) - min(us) AS BIGINT) AS duration_us
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+                   round(sum(value) OVER w, 6) AS sum_in_window
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "events_rollup": """
+            WITH prepped AS (
+              SELECT event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     value
+              FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM prepped
+            GROUP BY ROLLUP (event_type, day)
+        """,
+        "text_bigram_logprob": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         ' '),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                       AS i
+              FROM w WHERE len(ws) >= 2
+            ),
+            bg AS (
+              SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM idx
+            ),
+            model AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ),
+            ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+            SELECT bg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(-ln(model.c12 / CAST(ctx.c1 AS DOUBLE))), 6)
+                     AS avg_nll
+            FROM bg
+            JOIN model USING (w1, w2)
+            JOIN ctx USING (w1)
+            GROUP BY bg.doc_id
+        """,
+        "graph_bfs": _bfs_sql(n_iter=4, seed_mod=97),
     }
 
 

@@ -70,6 +70,11 @@ EXTRAS = [
     "graph_label_prop",
     "conv_role_stats",
     "curation_mixture",
+    "events_sessionize",
+    "events_rolling",
+    "events_rollup",
+    "text_bigram_logprob",
+    "graph_bfs",
 ]
 
 

@@ -386,3 +386,146 @@ def test_common_neighbors_square(spark):
     got = {(r["node_a"], r["node_b"]): r["n_common"]
            for r in common_neighbors(symmetrize(pairs), min_common=2).collect()}
     assert got == {(1, 3): 2, (2, 4): 2}
+
+
+def test_sessionize_gap_cut(spark):
+    from waka_spark.operators.temporal import sessionize
+
+    events = spark.createDataFrame(
+        [
+            # user 1: two sessions split by a 40-min gap
+            (1, 1, _ts(0)),
+            (2, 1, _ts(5)),
+            (3, 1, _ts(45)),
+            (4, 1, _ts(46)),
+            # user 2: one lonely event
+            (5, 2, _ts(10)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = sessionize(events, gap_sec=1800.0)
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (2, 300_000_000),   # 10:00-10:05
+        (1, 2): (2, 60_000_000),    # 10:45-10:46
+        (2, 1): (1, 0),
+    }
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    """Gap strictly greater than gap_sec cuts; exactly equal does not."""
+    from waka_spark.operators.temporal import sessionize
+
+    events = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = sessionize(events, gap_sec=1800.0).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes and the rollup share one exchange on user_id."""
+    from waka_spark.operators.temporal import sessionize
+
+    events = spark.createDataFrame(
+        [(1, 1, _ts(0))], "event_id long, user_id long, ts timestamp"
+    )
+    plan = sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_window_trailing_hour(spark):
+    from waka_spark.operators.temporal import rolling_window
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 9, 0), 1.0),
+            (2, 1, dt.datetime(2024, 1, 1, 9, 30), 2.0),
+            (3, 1, dt.datetime(2024, 1, 1, 10, 0), 4.0),   # 9:00 still in
+            (4, 1, dt.datetime(2024, 1, 1, 10, 31), 8.0),  # 9:30 aged out
+            (5, 2, dt.datetime(2024, 1, 1, 9, 15), 16.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = rolling_window(events, window_sec=3600.0)
+    got = {r["event_id"]: (r["n_in_window"], r["sum_in_window"])
+           for r in out.collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (2, 3.0)
+    assert got[3] == (3, 7.0)      # inclusive left bound: 9:00 + 1h == 10:00
+    assert got[4] == (2, 12.0)     # 10:00 + 10:31 only
+    assert got[5] == (1, 16.0)     # keys isolated
+
+
+def test_rolling_window_no_join_in_plan(spark):
+    from waka_spark.operators.temporal import rolling_window
+
+    events = spark.createDataFrame(
+        [(1, 1, _ts(0), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    plan = rolling_window(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_bfs_distances_chain(spark):
+    from waka_spark.operators.graph import bfs_distances, symmetrize
+
+    #  0-1-2-3-4 chain, seed at 0; 9 isolated seed
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    out = bfs_distances(symmetrize(pairs), seeds, n_iter=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    # 3 rounds reach depth 3; node 4 stays unreached (absent)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 0}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from waka_spark.operators.graph import bfs_distances, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    out = bfs_distances(symmetrize(pairs), seeds, n_iter=4)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    from waka_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = bigram_logprob(docs)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"]) for r in out.collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1 -> c1(a)=3, c1(b)=1
+    # p(b|a)=1.0, p(a|b)=1.0 -> every NLL is 0
+    assert got[1] == (3, 0.0)
+    assert got[2] == (1, 0.0)
+    assert 3 not in got  # single-word doc has no bigrams
+
+
+def test_bigram_logprob_mixed_context(spark):
+    import math
+
+    from waka_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_nll"]
+           for r in bigram_logprob(docs).collect()}
+    # c1(a)=2, c(a,b)=c(a,c)=1 -> NLL = ln 2 both docs
+    assert got[1] == pytest.approx(math.log(2), abs=1e-6)
+    assert got[2] == pytest.approx(math.log(2), abs=1e-6)

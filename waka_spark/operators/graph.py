@@ -106,6 +106,48 @@ def pagerank(
     return ranks
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: shortest hop-distance from any seed, bounded at
+    ``n_iter`` hops → (node, dist). Unreached nodes are absent (the caller
+    left-joins if it wants nulls).
+
+    Bellman-Ford-style relaxation as join+agg: each round expands the
+    current distance table along edges (+1) and folds with ``min`` — a
+    node's distance only ever decreases, so ``n_iter`` rounds yield exact
+    distances ≤ ``n_iter``. Per-round shuffle state is the (node, dist)
+    pair table only; ``localCheckpoint`` flattens lineage per round
+    (same Pregel-as-join shape as :func:`pagerank`). Frontier-only
+    expansion (joining just the rows that improved last round) would
+    shrink the join input on high-diameter graphs; on the dense low-
+    diameter similarity graphs this targets, the bounded (node, dist)
+    table is already the small side and the simple fold keeps every round
+    a two-stage job.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    dist = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        expanded = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 5,

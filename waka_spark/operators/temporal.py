@@ -232,6 +232,88 @@ def retention_cohorts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_sec: float = 1800.0,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the gap to
+    the previous event of the same ``key`` exceeds ``gap_sec`` (the
+    standard web/transcript session cut; transcript analog: split a
+    conversation into engagement episodes by inter-turn silence).
+
+    Scale shape: ONE shuffle on ``key``. The lag-gap flag and the running
+    ``sum(flag)`` session counter are two window passes over the same
+    ``(key ORDER BY ts, order_col)`` sort, so Catalyst plans a single
+    Exchange + Sort serving both; the per-session rollup then groups by
+    ``(key, session_idx)``, a superset of the partition key — no second
+    shuffle. ``order_col`` must be a per-key tiebreak (unique row id) so
+    equal timestamps order deterministically on both engines.
+
+    Output: one row per session — ``(key, session_idx, n_events,
+    start_us, end_us, duration_us)`` with epoch-microsecond bounds (exact
+    integers; no float or timestamp-rendering drift).
+    """
+    gap_us = int(gap_sec * 1_000_000)
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    us = epoch_us(F.col(ts_col))
+    flagged = events.withColumn(
+        "_new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "_session_idx", F.sum("_new_s").over(w).cast("long")
+    )
+    return sessions.groupBy(
+        F.col(key), F.col("_session_idx").alias("session_idx")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )
+
+
+def rolling_window(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: float = 3600.0,
+    row_id: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing time-range aggregate: for every event, the count
+    and value-sum of same-``key`` events in ``[ts - window_sec, ts]``
+    (inclusive both ends — SQL RANGE frame semantics; transcript analog:
+    "how many tool calls in the preceding hour of this conversation").
+
+    Scale shape: ONE shuffle on ``key`` + one sort on the epoch — Spark's
+    native RANGE BETWEEN frame evaluates with a sliding two-pointer over
+    the sorted run, never materializing candidate pairs (contrast
+    ``range_join_binned``, which exists for joining two DIFFERENT tables;
+    self-rolling is cheaper as a window). Equal timestamps are RANGE-frame
+    peers on every engine, so no tiebreak column is needed for
+    determinism.
+    """
+    frame_us = int(window_sec * 1_000_000)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(epoch_us(F.col(ts_col)))
+        .rangeBetween(-frame_us, 0)
+    )
+    return events.select(
+        F.col(row_id),
+        F.col(key),
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+        F.round(F.sum(value_col).over(w), 6).alias("sum_in_window"),
+    )
+
+
 def _bucket(ts: Column, width_us: int) -> Column:
     return F.floor(epoch_us(ts) / width_us).cast("long")
 

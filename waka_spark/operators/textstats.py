@@ -190,6 +190,56 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-trained
+    bigram LM: avg over bigrams of -ln(c(w1,w2)/c(w1·)) — the next step up
+    from :func:`unigram_logprob` in the CCNet-style quality ladder
+    (bigram NLL separates fluent text from word salad that unigram
+    frequency alone cannot). Model == corpus, so every scored bigram has
+    count ≥ 1 and no smoothing branch is needed; c(w1·) counts w1 as a
+    bigram *context* (all positions but the last), keeping the
+    conditional a true probability.
+
+    Scale shape: bigrams are built narrowly inside the row (one
+    ``transform`` over the word array — no self-join, no posexplode
+    alignment shuffle), then ONE explode feeds (a) the bigram-count
+    hash-agg keyed by (w1, w2), (b) the context-count agg keyed by w1
+    (both map-side-partial, absorbing Zipf heads), and (c) the scoring
+    side, which equi-joins both models back and re-aggregates by doc.
+    """
+    arr = F.filter(_words(F.col(text_col)), lambda w: w != "")
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast(pair_t))
+    bg = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
