@@ -1496,6 +1496,58 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (streaming/ingest.py), run in
+    batch mode over events: per-user sessions cut at >30-min gaps,
+    window end = last event + gap. The built-in streaming face of
+    events_sessionize — state bounded by open sessions under the
+    watermark when run as a stream."""
+    from waka_spark.streaming.ingest import streaming_session_counts
+
+    return streaming_session_counts(
+        _t(spark, sf_dir, "events"), gap="30 minutes", key="user_id"
+    )
+
+
+def q_ann_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion (operators/ann.py): mean cosine of
+    each vector to its label centroid — one wide hash-agg for the
+    centroids (n_labels x dim), broadcast back, cosine evaluated
+    narrowly in-row; the corpus is never exploded or shuffled."""
+    from waka_spark.operators.ann import centroid_cohesion
+
+    return centroid_cohesion(_t(spark, sf_dir, "embeddings"))
+
+
+def q_kg_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate co-occurrence over the KG: unordered predicate pairs
+    attested in the same conversation, with distinct-conversation
+    support — the schema-mining query run over a materialized KG (which
+    relation types travel together in a context). Distinct (conv, pred)
+    projection FIRST, so the self-join fan-out is bounded by per-conv
+    predicate *variety* (vocabulary-sized), never by triple
+    multiplicity."""
+    cp = (
+        _rule_triples(spark, sf_dir)
+        .select("conv_id", "pred_url")
+        .distinct()
+    )
+    a = cp.alias("a")
+    b = cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.pred_url") < F.col("b.pred_url")),
+        )
+        .groupBy(
+            F.col("a.pred_url").alias("pred_a"),
+            F.col("b.pred_url").alias("pred_b"),
+        )
+        .agg(F.countDistinct("a.conv_id").cast("long").alias("n_convs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1584,6 +1636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "text_bigram_logprob": q_text_bigram_logprob,
         "graph_bfs": q_graph_bfs,
+        "stream_session_counts": q_stream_session_counts,
+        "ann_centroid_cohesion": q_ann_centroid_cohesion,
+        "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
         "ann_matmul_topk": q_ann_matmul_topk,
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_retention": q_events_retention,
@@ -3297,6 +3352,67 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bg.doc_id
         """,
         "graph_bfs": _bfs_sql(n_iter=4, seed_mod=97),
+        "stream_session_counts": """
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                     ) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(min(us) AS BIGINT) AS start_us,
+                   CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "ann_centroid_cohesion": """
+            WITH x AS (
+              -- parallel unnests zip: (value, position) pairs
+              SELECT label, vec_id,
+                     CAST(unnest(embedding) AS DOUBLE) AS x,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ),
+            cent AS (SELECT label, i, avg(x) AS c FROM x GROUP BY label, i),
+            pv AS (
+              SELECT x.label, x.vec_id,
+                     sum(x.x * cent.c) AS dot,
+                     sum(x.x * x.x) AS nx,
+                     sum(cent.c * cent.c) AS nc
+              FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+              GROUP BY x.label, x.vec_id
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(dot / sqrt(nx * nc)), 6) AS avg_cos
+            FROM pv GROUP BY label
+        """,
+        "kg_pred_cooccurrence": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url,
+                     ou AS obj_url
+              FROM conv JOIN rules
+                ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            cp AS (SELECT DISTINCT conv_id, pred_url FROM triples)
+            SELECT a.pred_url AS pred_a, b.pred_url AS pred_b,
+                   CAST(count(DISTINCT a.conv_id) AS BIGINT) AS n_convs
+            FROM cp a
+            JOIN cp b ON a.conv_id = b.conv_id
+                     AND a.pred_url < b.pred_url
+            GROUP BY a.pred_url, b.pred_url
+        """,
     }
 
 

@@ -75,6 +75,9 @@ EXTRAS = [
     "events_rollup",
     "text_bigram_logprob",
     "graph_bfs",
+    "stream_session_counts",
+    "ann_centroid_cohesion",
+    "kg_pred_cooccurrence",
 ]
 
 

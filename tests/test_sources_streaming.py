@@ -236,3 +236,65 @@ def test_streaming_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ij_out").collect()
     assert [(r.l_text, r.r_text) for r in rows] == [("p0", "in-window")]
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    """Native session-window sessionization over a stream: gap-separated
+    events split; events exactly `gap` apart merge (window end = last
+    event + gap)."""
+    import datetime as dt
+
+    from waka_spark.streaming.ingest import streaming_session_counts
+
+    in_dir = tmp_path / "sess_in"
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, ts0),
+        (1, ts0 + dt.timedelta(minutes=30)),   # exactly gap apart: merges
+        (1, ts0 + dt.timedelta(minutes=120)),  # > gap: new session
+        (2, ts0),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(
+        str(in_dir))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(in_dir))
+    out = streaming_session_counts(
+        stream, gap="30 minutes", watermark="10 minutes", key="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("sess_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, (r.end_us - r.start_us) // 1_000_000, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    # sessions: u1 [10:00, 10:30+gap) n=2; u1 [12:00, 12:00+gap) n=1;
+    # u2 [10:00, 10:00+gap) n=1  (gap = 1800s)
+    assert got == {(1, 3600, 2), (1, 1800, 1), (2, 1800, 1)}
+
+
+def test_session_counts_batch_matches_sessionize_cut(spark):
+    """Batch-mode session_window agrees with operators/temporal.sessionize
+    on session membership (both cut strictly-greater-than-gap)."""
+    import datetime as dt
+
+    from waka_spark.operators.temporal import sessionize
+    from waka_spark.streaming.ingest import streaming_session_counts
+
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, 1, ts0 + dt.timedelta(minutes=m))
+        for i, m in enumerate([0, 30, 61, 62, 200])
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    via_window = sorted(
+        r.n_events
+        for r in streaming_session_counts(
+            events, gap="30 minutes", key="user_id").collect()
+    )
+    via_lag = sorted(
+        r.n_events for r in sessionize(events, gap_sec=1800.0).collect()
+    )
+    assert via_window == via_lag == [1, 2, 2]

@@ -407,3 +407,39 @@ def test_unigram_logprob_ranks_rare_words_higher(spark):
     assert abs(out[1]["avg_nll"] - (-log(5 / 6))) < 1e-6
     # doc 2 contains the rare word -> higher mean NLL (more surprising)
     assert out[2]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_centroid_cohesion_hand_case(spark):
+    """Two labels: one tight (identical vectors, cohesion 1.0), one spread
+    (orthogonal unit vectors: centroid [.5,.5], each cos = 1/sqrt(2))."""
+    from waka_spark.operators.ann import centroid_cohesion
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [1.0, 0.0], 1),
+            (4, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: (r["n_vecs"], r["avg_cos"])
+           for r in centroid_cohesion(emb).collect()}
+    assert got[0] == (2, 1.0)
+    assert got[1][0] == 2
+    assert abs(got[1][1] - 0.707107) < 1e-6
+
+
+def test_centroid_cohesion_never_explodes_corpus(spark):
+    """The corpus must not be exploded/shuffled: only the tiny centroid
+    agg exchanges; the join back is broadcast."""
+    from waka_spark.operators.ann import centroid_cohesion
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    plan = (
+        centroid_cohesion(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no posexplode of vectors anywhere

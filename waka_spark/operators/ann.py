@@ -415,6 +415,57 @@ def quantize_embeddings(
     )
 
 
+def centroid_cohesion(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid cohesion: the mean cosine of each vector to its
+    label's mean vector — the embedding-quality diagnostic a curation
+    pass reads before trusting labels for stratification or ANN recall
+    targets (low cohesion = noisy labels or a collapsed embedding space).
+
+    Scale shape: the centroid is ONE hash-agg producing n_labels × dim
+    cells — computed as ``dim`` per-dimension ``avg`` columns (wide agg,
+    map-side partials; dim is a few hundred, labels a few thousand, so
+    the result is driver-trivial) — then broadcast-joined back and the
+    cosine evaluated narrowly in-row with ``zip_with``/``aggregate``.
+    NO posexplode of the corpus: at 10^9 vectors an (id, i, x) explode
+    is dim× the corpus in shuffle bytes; this shape shuffles nothing but
+    the tiny centroid table. ``dim`` is read from one row (O(1) driver
+    action).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim = len(embeddings.select(vec_col).first()[0])
+    cent = (
+        embeddings.select(F.col(label_col).alias("label"), vec.alias("_v"))
+        .groupBy("label")
+        .agg(*[
+            F.avg(F.element_at("_v", i + 1)).alias(f"_c{i}")
+            for i in range(dim)
+        ])
+        .select(
+            "label",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cent"),
+        )
+    )
+    joined = embeddings.select(
+        F.col(label_col).alias("label"), F.col(id_col), vec.alias("_v")
+    ).join(F.broadcast(cent), "label")
+    cos = _dot(F.col("_v"), F.col("_cent")) / (
+        _norm(F.col("_v")) * _norm(F.col("_cent"))
+    )
+    return (
+        joined.select("label", cos.alias("_cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("_cos"), 6).alias("avg_cos"),
+        )
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,

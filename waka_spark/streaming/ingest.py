@@ -47,6 +47,39 @@ def streaming_turn_counts(turns: DataFrame, window: str = "10 minutes",
     )
 
 
+def streaming_session_counts(
+    turns: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "conv_id",
+) -> DataFrame:
+    """Native session-window aggregation: per-key sessions cut when the
+    inter-event gap exceeds ``gap`` (Spark merges events exactly ``gap``
+    apart; window end = last event ts + gap). The built-in streaming
+    face of operators/temporal.py:sessionize — state is bounded by open
+    sessions only and evicted once the watermark passes a session's end,
+    so memory is (active keys × open sessions), independent of corpus
+    size. Works identically on batch DataFrames (how the oracle checks
+    it).
+    """
+    grouped = turns
+    if turns.isStreaming:
+        grouped = turns.withWatermark("ts", watermark)
+    return (
+        grouped.groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            key,
+            # session_window yields TIMESTAMP_NTZ bounds; the cast
+            # interprets them in the session zone — a constant shift that
+            # matches epoch_us() everywhere else (temporal.py)
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def incremental_mentions(turns: DataFrame, gazetteer) -> DataFrame:
     """Stateless NER over the stream: per-turn mention extraction using the
     identical batch operator (mapInPandas is streaming-safe)."""
