@@ -1548,6 +1548,104 @@ def q_kg_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the simplified lineitem): priority
+    counts for orders in a quarter having >=1 discounted lineitem — the
+    EXISTS/LeftSemi face of the join substrate. The semi join never
+    materializes matched lineitem rows (dedup is free inside the join),
+    and both filters reach the parquet scans."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value z-scores + 3-sigma outlier flags — the cheap
+    anomaly screen a pipeline runs before trusting numeric telemetry.
+    One tiny per-type agg (mean/stddev) broadcast back onto the stream;
+    the event table itself never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sigma"),
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 3).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+def q_curation_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language entropy — the mix-design diagnostic (a source
+    with near-zero entropy is monolingual; high entropy flags scrambled
+    provenance). Two hash-aggs keyed by (source, lang) then source —
+    map-side partials absorb domain skew."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("_n"))
+    # the per-source total via a window over the TINY counts table
+    # (n_sources x n_langs rows), not a second scan of the corpus
+    p = F.col("_n") / F.sum("_n").over(Window.partitionBy("source"))
+    return (
+        counts.withColumn("_p", p)
+        .groupBy("source")
+        .agg(
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.round(-F.sum(F.col("_p") * F.log("_p")), 6).alias("entropy"),
+        )
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the banded-LSH path against the exact
+    brute-force ranking, per query — the number a deployment tunes
+    (bands x planes) against. Exact top-k LEFT-joins the approximate
+    top-k on (q_id, vec_id); hits counted per query."""
+    from waka_spark.operators.ann import (
+        auto_band_planes,
+        cosine_topk,
+        lsh_bucket_ann,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = cosine_topk(emb, queries, k=5).select("q_id", "vec_id")
+    approx = (
+        lsh_bucket_ann(
+            emb, queries, n_bands=2,
+            band_planes=auto_band_planes(emb.count()), k=5,
+        )
+        .select("q_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit") / F.count("*"), 6).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1639,6 +1737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_counts": q_stream_session_counts,
         "ann_centroid_cohesion": q_ann_centroid_cohesion,
         "kg_pred_cooccurrence": q_kg_pred_cooccurrence,
+        "tpch_q4": q_tpch_q4,
+        "events_zscore": q_events_zscore,
+        "curation_domain_entropy": q_curation_domain_entropy,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "ann_matmul_topk": q_ann_matmul_topk,
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_retention": q_events_retention,
@@ -3412,6 +3514,113 @@ def oracle_sql() -> dict[str, str]:
             JOIN cp b ON a.conv_id = b.conv_id
                      AND a.pred_url < b.pred_url
             GROUP BY a.pred_url, b.pred_url
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+              )
+            GROUP BY o_orderpriority
+        """,
+        "events_zscore": """
+            WITH stats AS (
+              SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   round((value - mu) / sigma, 6) AS zscore,
+                   CAST(abs((value - mu) / sigma) > 3 AS INT) AS is_outlier
+            FROM events e JOIN stats USING (event_type)
+        """,
+        "curation_domain_entropy": """
+            WITH counts AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY source, lang
+            ),
+            withp AS (
+              SELECT source, n,
+                     n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                       AS p
+              FROM counts
+            )
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   round(-sum(p * ln(p)), 6) AS entropy
+            FROM withp GROUP BY source
+        """,
+        "ann_lsh_recall": """
+            WITH comp AS (
+              SELECT p.plane, i.i,
+                     CAST(('0x' || substr(md5(p.plane || ':' || i.i), 1, 4)) AS BIGINT)
+                       / 65535.0 - 0.5 AS c
+              FROM (SELECT unnest(generate_series(0, 5)) AS plane) p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i
+            ),
+            planes AS (
+              SELECT plane, list(c ORDER BY i) AS components
+              FROM comp GROUP BY plane
+            ),
+            emb AS (
+              SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+            ),
+            buckets AS (
+              SELECT e.vec_id, e.v, p.plane // 3 AS band,
+                     CAST(sum(CASE WHEN list_dot_product(e.v, p.components) > 0
+                              THEN (1 << (p.plane % 3)) ELSE 0 END) AS INT)
+                       AS bucket
+              FROM emb e, planes p GROUP BY e.vec_id, e.v, p.plane // 3
+            ),
+            acand AS (
+              SELECT DISTINCT q.vec_id AS q_id, c.vec_id, c.v, q.v AS q_vec
+              FROM buckets c JOIN buckets q
+                ON c.band = q.band AND c.bucket = q.bucket
+              WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+            ),
+            ascored AS (
+              SELECT q_id, vec_id,
+                     round(list_dot_product(v, q_vec)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(q_vec, q_vec))), 6)
+                       AS cos
+              FROM acand
+            ),
+            approx AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM ascored
+              ) WHERE rank <= 5
+            ),
+            escored AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     round(list_dot_product(e.v, q.v)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+              FROM emb e, emb q
+              WHERE q.vec_id < 3 AND q.vec_id <> e.vec_id
+            ),
+            exact AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM escored
+              ) WHERE rank <= 5
+            )
+            SELECT exact.q_id,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+                   round(count(approx.vec_id) / CAST(count(*) AS DOUBLE), 6)
+                     AS recall
+            FROM exact
+            LEFT JOIN approx
+              ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
+            GROUP BY exact.q_id
         """,
     }
 

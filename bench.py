@@ -78,6 +78,10 @@ EXTRAS = [
     "stream_session_counts",
     "ann_centroid_cohesion",
     "kg_pred_cooccurrence",
+    "tpch_q4",
+    "events_zscore",
+    "curation_domain_entropy",
+    "ann_lsh_recall",
 ]
 
 

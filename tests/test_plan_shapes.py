@@ -105,3 +105,19 @@ def test_minhash_signatures_are_narrow(spark):
     assert plan.count("+- Exchange") <= 1
     # no aggregation anywhere in the plan — the min is in-row
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_tpch_q4_is_semi_join_with_pushdown(spark):
+    """Q4's EXISTS compiles to a LeftSemi join (matched lineitems never
+    materialize) and both filters reach the parquet scans."""
+    plan = plan_of(entry.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 1
+
+
+def test_events_zscore_broadcasts_stats(spark):
+    """The per-type stats join must broadcast: the event stream itself
+    never shuffles for the z-score."""
+    plan = plan_of(entry.q_events_zscore(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
