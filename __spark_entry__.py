@@ -1646,6 +1646,66 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary self-join (operators/textstats.py): word pairs
+    within Levenshtein 2 via SymSpell deletion-neighborhood candidate
+    generation — equi-join on in-row-generated deletion variants, exact
+    levenshtein verify; linear in vocabulary, never |V|^2."""
+    from waka_spark.operators.textstats import typo_pairs
+
+    return typo_pairs(_t(spark, sf_dir, "documents"), max_edit=2, min_len=4)
+
+
+def q_events_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference face of the substrate: (user, day) pairs with a
+    view but no purchase that day — EXCEPT expressed as a left-anti join
+    of two distinct projections (both sides prune to two columns before
+    the shuffle; the anti join materializes no matched rows)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(
+        F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd"
+    ).alias("day")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", day).distinct()
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day).distinct()
+    )
+    return views.join(purchases, ["user_id", "day"], "left_anti")
+
+
+def q_conv_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov role-transition profile over the transcripts shape
+    (conv_id, turn_idx, role): counts of (prev_role → next_role) with
+    distinct-conversation support — the dialog-structure audit run
+    before training on conversation data (e.g. tool-call loops,
+    user/assistant alternation violations). One lag window over the
+    (conv_id, turn_idx) sort + one hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = max(50, docs.count() // 100)
+    turn = (F.col("doc_id") / mod).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (turn % 3) + 1)
+    t = docs.select(
+        (F.col("doc_id") % mod).cast("string").alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = t.withColumn("prev_role", F.lag("role").over(w))
+    return (
+        lagged.filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", F.col("role").alias("next_role"))
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1741,6 +1801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "curation_domain_entropy": q_curation_domain_entropy,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "text_typo_pairs": q_text_typo_pairs,
+        "events_view_no_purchase": q_events_view_no_purchase,
+        "conv_turn_transitions": q_conv_turn_transitions,
         "ann_matmul_topk": q_ann_matmul_topk,
         "text_unigram_logprob": q_text_unigram_logprob,
         "events_retention": q_events_retention,
@@ -3621,6 +3684,52 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN approx
               ON exact.q_id = approx.q_id AND exact.vec_id = approx.vec_id
             GROUP BY exact.q_id
+        """,
+        "text_typo_pairs": """
+            WITH wrds AS (
+              SELECT DISTINCT
+                unnest(string_split(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+                  AS w
+              FROM documents
+            ),
+            v AS (SELECT w FROM wrds WHERE length(w) >= 4)
+            SELECT a.w AS w1, b.w AS w2,
+                   CAST(levenshtein(a.w, b.w) AS INT) AS dist
+            FROM v a JOIN v b
+              ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+        """,
+        "events_view_no_purchase": """
+            SELECT user_id, day FROM (
+              SELECT DISTINCT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT DISTINCT user_id,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d')
+              FROM events WHERE event_type = 'purchase'
+            )
+        """,
+        "conv_turn_transitions": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     {_TURN} AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role
+              FROM documents
+            ),
+            lagged AS (
+              SELECT conv_id, role,
+                     lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                     ) AS prev_role
+              FROM t
+            )
+            SELECT prev_role, role AS next_role,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM lagged WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role
         """,
     }
 

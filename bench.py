@@ -82,6 +82,9 @@ EXTRAS = [
     "events_zscore",
     "curation_domain_entropy",
     "ann_lsh_recall",
+    "text_typo_pairs",
+    "events_view_no_purchase",
+    "conv_turn_transitions",
 ]
 
 

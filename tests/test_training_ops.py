@@ -443,3 +443,44 @@ def test_centroid_cohesion_never_explodes_corpus(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Generate" not in plan  # no posexplode of vectors anywhere
+
+
+def test_typo_pairs_edit_classes(spark):
+    """Deletion-neighborhood candidates cover substitution, insertion,
+    deletion, and double edits; verify keeps only lev <= max_edit."""
+    from waka_spark.operators.textstats import typo_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "receive recieve"),      # transposition: lev 2
+            (2, "spark spark sparks"),   # insertion: lev 1
+            (3, "charts charms"),        # substitution: lev 1
+            (4, "window winnow zzzzzzz"),  # substitution: lev 1; zzz isolated
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): r.dist for r in typo_pairs(docs, max_edit=2).collect()}
+    assert got[("receive", "recieve")] == 2
+    assert got[("spark", "sparks")] == 1
+    assert got[("charms", "charts")] == 1
+    assert got[("window", "winnow")] == 1
+    assert not any("zzzzzzz" in p for p in got)
+
+
+def test_typo_pairs_k1_excludes_distance_2(spark):
+    from waka_spark.operators.textstats import typo_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "receive recieve spark sparks")], "doc_id long, text string")
+    got = {(r.w1, r.w2) for r in typo_pairs(docs, max_edit=1).collect()}
+    assert got == {("spark", "sparks")}
+
+
+def test_typo_pairs_candidate_join_is_equi(spark):
+    """The candidate join must be a hash join on the deletion variant —
+    never a nested-loop over the vocabulary cross product."""
+    from waka_spark.operators.textstats import typo_pairs
+
+    docs = spark.createDataFrame([(1, "abcd bcde")], "doc_id long, text string")
+    plan = typo_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

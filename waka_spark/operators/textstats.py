@@ -240,6 +240,76 @@ def bigram_logprob(
     )
 
 
+def typo_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_edit: int = 2,
+    min_len: int = 4,
+) -> DataFrame:
+    """Fuzzy vocabulary self-join: distinct word pairs within Levenshtein
+    distance ``max_edit`` (1 or 2) — typo/variant mining over a corpus
+    vocabulary (the normalization table a curation pass builds before
+    frequency thresholding splits "recieve" from "receive").
+
+    Scale shape: SymSpell deletion neighborhoods, NOT all-pairs. Every
+    word generates its ≤``max_edit``-deletion variants narrowly in-row
+    (nested ``transform`` over positions — O(L²) variants per word, zero
+    shuffle), and two words within edit distance k share at least one
+    variant (deletions compose: align the edit script and delete the
+    edited positions on both sides), so the candidate join is a plain
+    equi-join on variant — linear in vocabulary size, never |V|².
+    Candidates then verify with the exact ``levenshtein`` (sharing a
+    variant is necessary, not sufficient — e.g. transposed bigrams).
+    A pathologically hot variant (many words sharing one delete) is the
+    LSH-hot-bucket analog; vocabulary distributions keep it bounded, and
+    ``min_len`` drops the short words that generate the hottest ones.
+    """
+    words = (
+        df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= min_len)
+        .distinct()
+    )
+    w = F.col("w")
+    L = F.length(w)
+    singles = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(w.substr(F.lit(1), i - 1), w.substr(i + 1, L)),
+    )
+    variants = F.concat(F.array(w), singles)
+    if max_edit >= 2:
+        # delete positions i < j: outer i in 1..L-1, inner j in i+1..L —
+        # bounds are non-empty for every L >= min_len, so sequence()
+        # never flips descending
+        doubles = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), L),
+                    lambda j: F.concat(
+                        w.substr(F.lit(1), i - 1),
+                        w.substr(i + 1, j - i - 1),
+                        w.substr(j + 1, L),
+                    ),
+                ),
+            )
+        )
+        variants = F.concat(variants, doubles)
+    cand = words.select(w, F.explode(F.array_distinct(variants)).alias("v"))
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w"))
+        )
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    dist = F.levenshtein("w1", "w2")
+    return pairs.filter(dist <= max_edit).select(
+        "w1", "w2", dist.cast("int").alias("dist")
+    )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
