@@ -1706,6 +1706,46 @@ def q_conv_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022): merged maximal
+    word-position spans whose 6-word windows occur in >=2 distinct docs
+    (operators/dedup.py duplicate_spans) — the sliding-window substitute
+    for the paper's suffix array."""
+    from waka_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=6)
+
+
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply half of duplicate-span detection: rebuild each document with
+    corpus-duplicated 6-word runs removed (operators/dedup.py
+    scrub_duplicate_spans); narrow higher-order-function rebuild, one
+    left join."""
+    from waka_spark.operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(_t(spark, sf_dir, "documents"), window=6)
+
+
+def q_curation_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier INFERENCE as pure
+    relational algebra: the model is a broadcast (bucket, weight) table,
+    inference is explode → broadcast join → hash agg → sigmoid
+    (operators/curation.py hashed_linear_score)."""
+    from waka_spark.operators.curation import hashed_linear_score
+
+    return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-candidate round at corpus scale: top-50 adjacent
+    char pairs weighted by word frequency, computed over the VOCAB (one
+    hash-agg collapse) not the token stream (operators/textstats.py
+    bpe_pair_counts)."""
+    from waka_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1811,6 +1851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_summary": q_kg_entity_summary,
         "kg_path_2hop": q_kg_path_2hop,
         "text_length_quantiles": q_text_length_quantiles,
+        "dedup_dup_spans": q_dedup_dup_spans,
+        "dedup_span_scrub": q_dedup_span_scrub,
+        "curation_quality_linear": q_curation_quality_linear,
+        "text_bpe_pairs": q_text_bpe_pairs,
     }
 
 
@@ -1851,6 +1895,22 @@ sh_pairs AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
+"""
+
+# sliding 6-word window hashes + corpus-duplicated positions (shared by the
+# duplicate-span detect and scrub oracles)
+_DUP_WINS_CTES = """
+ds_words AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents),
+ds_wins AS (
+  SELECT doc_id, p.pos, md5(array_to_string(ws[p.pos+1 : p.pos+6], ' ')) AS whash
+  FROM ds_words, LATERAL (SELECT unnest(generate_series(0, len(ws)-6)) AS pos) p
+  WHERE len(ws) >= 6),
+ds_wdf AS (
+  SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM ds_wins)
+  GROUP BY whash HAVING count(*) >= 2),
+ds_dup AS (SELECT doc_id, pos FROM ds_wins JOIN ds_wdf USING (whash))
 """
 
 # symmetrized similarity graph + out-degrees on top of sh_pairs
@@ -3326,6 +3386,82 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.5), 6) AS q50,
                    round(quantile_cont(n_chars, 0.75), 6) AS q75
             FROM documents GROUP BY lang
+        """,
+        "dedup_dup_spans": f"""
+            WITH {_DUP_WINS_CTES},
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                          OR pos > max(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_span
+              FROM ds_dup),
+            grouped AS (
+              SELECT doc_id, pos,
+                     sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+              FROM flagged)
+            SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 6 AS INT) AS span_end,
+                   CAST(max(pos) + 6 - min(pos) AS INT) AS n_words
+            FROM grouped GROUP BY doc_id, span
+        """,
+        "dedup_span_scrub": f"""
+            WITH {_DUP_WINS_CTES},
+            cov AS (
+              SELECT DISTINCT d.doc_id, d.pos + o.o AS cpos
+              FROM ds_dup d, LATERAL (SELECT unnest(generate_series(0, 5)) AS o) o),
+            toks AS (
+              SELECT w.doc_id, w.ws[p.p] AS word, p.p - 1 AS pos
+              FROM ds_words w,
+                   LATERAL (SELECT unnest(generate_series(1, len(w.ws))) AS p) p),
+            kept AS (
+              SELECT t.doc_id, t.word, t.pos
+              FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              WHERE c.doc_id IS NULL)
+            SELECT w.doc_id,
+                   coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text,
+                   CAST(len(w.ws) AS BIGINT) AS n_words,
+                   CAST(len(w.ws) - count(k.word) AS BIGINT) AS n_removed
+            FROM ds_words w LEFT JOIN kept k ON w.doc_id = k.doc_id
+            GROUP BY w.doc_id, len(w.ws)
+        """,
+        "curation_quality_linear": """
+            WITH wtab AS (
+              SELECT CAST(b.b AS INT) AS bucket,
+                     CAST(('0x' || substr(md5('w:' || b.b), 1, 8)) AS BIGINT)
+                       / 4294967296.0 * 2.0 - 1.0 AS weight
+              FROM (SELECT unnest(generate_series(0, 255)) AS b) b),
+            words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            bucketed AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 256 AS INT) AS bucket
+              FROM words WHERE word <> ''),
+            scored AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, avg(weight) AS mw
+              FROM bucketed JOIN wtab USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_words, round(mw, 6) AS raw_score,
+                   round(1.0 / (1.0 + exp(-mw)), 6) AS prob
+            FROM scored
+        """,
+        "text_bpe_pairs": """
+            WITH words AS (
+              SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            vocab AS (
+              SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+            pairs AS (
+              SELECT substr(word, i.i, 2) AS pair, freq
+              FROM vocab,
+                   LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i) i
+              WHERE length(word) >= 2)
+            SELECT pair, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(freq) AS BIGINT) AS n_total
+            FROM pairs GROUP BY pair
+            ORDER BY n_total DESC, pair ASC LIMIT 50
         """,
         "text_unigram_logprob": """
             WITH words AS (

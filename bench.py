@@ -85,6 +85,10 @@ EXTRAS = [
     "text_typo_pairs",
     "events_view_no_purchase",
     "conv_turn_transitions",
+    "dedup_dup_spans",
+    "dedup_span_scrub",
+    "curation_quality_linear",
+    "text_bpe_pairs",
 ]
 
 

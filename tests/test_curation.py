@@ -186,3 +186,76 @@ def test_balanced_resample(spark):
     out2 = balanced_resample(df.repartition(7), domain_col="lang").collect()
     assert sorted(r["doc_id"] for r in out) == sorted(
         r["doc_id"] for r in out2)
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # docs 10/11 share the exact 8-word run "a b c d e f g h" embedded at
+    # different offsets; doc 12 is fully unique; doc 13 is too short for
+    # a 6-word window
+    rows = [
+        (10, "x1 x2 a b c d e f g h x3 x4"),
+        (11, "y1 a b c d e f g h y2 y3 y4 y5"),
+        (12, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        (13, "s1 s2 s3"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_detects_and_merges(span_docs):
+    from waka_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(span_docs, window=6).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in out}
+    # the shared run is words 2..9 in doc 10 (3 colliding windows merge
+    # into ONE maximal span) and words 1..8 in doc 11
+    assert spans == {10: (2, 10), 11: (1, 9)}
+    assert all(r["n_words"] == 8 for r in out)
+
+
+def test_scrub_removes_exactly_the_spans(span_docs):
+    from waka_spark.operators.dedup import scrub_duplicate_spans
+
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(
+        span_docs, window=6).collect()}
+    assert out[10]["clean_text"] == "x1 x2 x3 x4"
+    assert out[10]["n_removed"] == 8
+    assert out[11]["clean_text"] == "y1 y2 y3 y4 y5"
+    # untouched docs pass through normalized, zero removed
+    assert out[12]["clean_text"].startswith("u1 u2")
+    assert out[12]["n_removed"] == 0
+    assert out[13]["n_removed"] == 0
+    # word accounting: n_words == kept + removed for every doc
+    for r in out.values():
+        kept = 0 if r["clean_text"] == "" else len(r["clean_text"].split(" "))
+        assert r["n_words"] == kept + r["n_removed"]
+
+
+def test_hashed_linear_score_deterministic_and_bounded(span_docs):
+    from waka_spark.operators.curation import hashed_linear_score
+
+    a = hashed_linear_score(span_docs).collect()
+    b = hashed_linear_score(span_docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert 0.0 < r["prob"] < 1.0
+        assert -1.0 <= r["raw_score"] <= 1.0
+    # identical texts score identically regardless of doc id
+    docs2 = span_docs.sparkSession.createDataFrame(
+        [(1, "same words here ok"), (2, "same words here ok")],
+        "doc_id long, text string")
+    s = hashed_linear_score(docs2).collect()
+    assert s[0]["prob"] == s[1]["prob"]
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from waka_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x")], "doc_id long, text string")
+    out = {r["pair"]: r for r in bpe_pair_counts(docs, k=10).collect()}
+    # "abab" occurs 3x corpus-wide and contributes pairs ab, ba, ab
+    assert out["ab"]["n_words"] == 2 and out["ab"]["n_total"] == 6
+    assert out["ba"]["n_total"] == 3
+    assert out["cd"]["n_total"] == 1
+    assert "x" not in out  # single-char words contribute nothing

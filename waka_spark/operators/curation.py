@@ -455,3 +455,66 @@ def pack_sequences(
     ).withColumn(
         "seq_idx", F.floor(F.col("start_offset") / budget).cast("long")
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE as relational
+    algebra — no UDF anywhere: score = sigmoid(bias + mean over words of
+    weight[bucket(word)]), with bucket(word) = md5-hash(word) mod
+    ``n_buckets`` (the hashing trick; Weinberger et al. 2009).
+
+    This is the shape production quality classifiers run at 100 TB: the
+    model is a TABLE (bucket → weight), broadcast to every executor, and
+    inference is explode → broadcast hash-join → one hash-agg keyed by
+    doc_id — fully whole-stage-codegen'd, map-side combinable, and
+    linearly scan-parallel. Swapping in real fastText weights is a table
+    swap, not a code change.
+
+    ``weights`` (bucket:int, weight:double) defaults to a deterministic
+    md5-derived table (weight ∈ [-1, 1)) so tests and the DuckDB oracle
+    reproduce it exactly. Output: (doc_id, n_words, raw_score, prob).
+    """
+    spark = df.sparkSession
+    if weights is None:
+        weights = spark.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
+                    16, 10,
+                ).cast("double") / F.lit(float(2 ** 32)) * 2.0 - 1.0
+            ).alias("weight"),
+        )
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    bucketed = words.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int").alias("bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.avg("weight").alias("_mean_w"),
+        )
+    )
+    raw = F.col("_mean_w") + F.lit(bias)
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round(raw, 6).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
+    )

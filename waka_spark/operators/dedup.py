@@ -417,3 +417,139 @@ def dedup_pipeline(
         )
         .withColumnRenamed("doc_id", id_col)
     )
+
+
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(doc_id, pos, whash): md5 of every stride-1 sliding ``window``-word
+    run, tagged with its 0-based start position. Narrow per-row work (one
+    transform over the in-row word array) — the explode is the only
+    fan-out, ~n_words rows per doc."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(words) - window),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.array_join(F.slice(words, i + 1, window), " ")).alias("whash"),
+        ),
+    )
+    return (
+        _parallel_floor(df, id_col)
+        .filter(F.size(words) >= window)
+        .select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("_w"))
+        .select("doc_id", F.col("_w.pos").alias("pos"),
+                F.col("_w.whash").alias("whash"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans, Lee et al. 2022 style ("Deduplicating
+    Training Data Makes Language Models Better"): every ``window``-word run
+    occurring in ≥ ``min_docs`` distinct documents marks its word positions
+    as duplicated; overlapping marked runs merge into maximal spans.
+
+    The fixed-width sliding window is the shuffle-bounded substitute for
+    the paper's suffix array: a duplicated substring of length L ≥ window
+    is covered by L - window + 1 colliding windows, so the merged spans
+    recover the full duplicated extent (start/end accurate to the word).
+
+    Dataflow: one explode (stride-1 windows) → distinct (doc, hash) →
+    hash-agg document frequency → join back → per-doc interval merge via
+    one running-max window. No UDFs; the interval merge is the same
+    sessionization shape as ``events_sessionize``.
+
+    Output: (doc_id, span_start, span_end, n_words) — word-position spans,
+    end exclusive. Reference analog: the per-document ``set()`` dedups
+    (kg.py:224-225) are row-level; this is the corpus-level substring form
+    a 100 TB pre-training pass needs.
+    """
+    wins = _window_hashes(df, id_col, text_col, window)
+    wdf = (
+        wins.select("doc_id", "whash").distinct()
+        .groupBy("whash").agg(F.count("*").alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("whash")
+    )
+    dup = wins.join(wdf, "whash").select("doc_id", "pos")
+
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup
+        .withColumn(
+            "_new", F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_new").over(w_ord))
+        .groupBy("doc_id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        (F.col("span_end") - F.col("span_start")).cast("int").alias("n_words"),
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rebuild each document with its corpus-duplicated spans removed —
+    the *apply* half of :func:`duplicate_spans` (Lee et al. 2022 drop the
+    duplicated extent from all-but-one occurrence; we drop it everywhere,
+    the C4/RefinedWeb boilerplate-removal variant, which keeps the op
+    deterministic and order-free at any partitioning).
+
+    Dataflow: duplicate_spans → per-doc covered-position ARRAY via one
+    sequence-explode-free groupBy (spans stay intervals; coverage tests
+    are ``exists(spans, s -> start <= pos < end)`` over the in-row span
+    array) → one left join onto the corpus → narrow per-row rebuild with
+    higher-order functions. Docs with no duplicate span pass through with
+    a null-join fast path. Output: (doc_id, clean_text, n_words,
+    n_removed).
+    """
+    spans = (
+        duplicate_spans(df, id_col, text_col, window, min_docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    )
+    words = F.split(normalize_text(F.col("_t")), " ")
+    indexed = F.transform(
+        words, lambda w, i: F.struct(i.alias("pos"), w.alias("w"))
+    )
+    covered = lambda pos: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (s["span_start"] <= pos) & (pos < s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), indexed).otherwise(
+        F.filter(indexed, lambda x: ~covered(x["pos"]))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.transform(kept, lambda x: x["w"]), " ")
+            .alias("clean_text"),
+            F.size(words).cast("long").alias("n_words"),
+            (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -326,3 +326,50 @@ def fingerprints(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """First iteration of BPE vocabulary training at corpus scale: the
+    top-``k`` adjacent character pairs weighted by corpus word frequency
+    (Sennrich et al. 2016's merge-candidate count — each further merge
+    round is this same op over the re-segmented symbol stream).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    hash-agg: distinct word → total occurrences), so the character-level
+    fan-out runs over ~10^6 vocab rows, not 10^12 word tokens; pair
+    extraction is a narrow in-row transform, and the final count is one
+    hash-agg + a top-k TakeOrdered. Output: (pair, n_words, n_total),
+    n_total = occurrence-weighted pair count, ordered n_total desc.
+    """
+    vocab = (
+        df.select(
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        "word",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substr(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    ).filter(F.length("word") >= 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_total"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("pair").asc())
+        .limit(k)
+    )
