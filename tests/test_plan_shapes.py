@@ -121,3 +121,32 @@ def test_events_zscore_broadcasts_stats(spark):
     plan = plan_of(entry.q_events_zscore(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_linear_broadcasts_weight_table(spark):
+    """hashed_linear_score: the model (bucket, weight) table must be a
+    broadcast hash join — the exploded word stream is the corpus-sized
+    side and must never shuffle for the model lookup."""
+    plan = plan_of(entry.q_curation_quality_linear(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_topk_is_take_ordered(spark):
+    """bpe_pair_counts: the global top-k must compile to
+    TakeOrderedAndProject (per-partition heaps), never a global sort or a
+    single-partition window."""
+    plan = plan_of(entry.q_text_bpe_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_duplicate_spans_single_window_pass(spark):
+    """duplicate_spans: exactly one window-function pass (the interval
+    merge) partitioned by doc_id — never an unpartitioned window — and no
+    cartesian/nested-loop join anywhere."""
+    plan = plan_of(entry.q_dedup_dup_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Sort feeding the windows is doc_id-partitioned
+    assert "partitionspec=[]" not in plan.lower().replace(" ", "")
