@@ -1746,6 +1746,54 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/joins.py skew_salted_join): events
+    (big, event_type is Zipf-hot — a handful of values over the whole
+    stream) join a per-type dim table with the big side salted 8 ways, so
+    no single task owns a hot key. Output identical to the plain join —
+    which is exactly what the oracle checks."""
+    from waka_spark.operators.joins import skew_salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    # integer weights keep the product bit-identical across engines (a
+    # rounded double weight differed in the last 1e-6 digit between
+    # Spark's BigDecimal HALF_UP and DuckDB's libm rounding)
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_weight",
+        (F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10)
+         .cast("long") % 1000).cast("int"),
+    )
+    joined = skew_salted_join(ev, dim, "event_type", n_salts=8)
+    return joined.select(
+        "event_id", "event_type",
+        (F.col("value") * F.col("type_weight")).alias("weighted"),
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunk fan-out (operators/curation.py
+    chunk_documents): 20-word windows at stride 10, one row per chunk —
+    the embedding-index build input."""
+    from waka_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_words=20, stride=10)
+
+
+def q_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64→8 dims
+    (operators/ann.py random_projection): deterministic md5-parity ±1
+    matrix baked into the plan as literals, one in-row fold per output
+    coordinate — the ANN pre-pass that shrinks every downstream distance
+    computation."""
+    from waka_spark.operators.ann import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, in_dim=64, out_dim=8)
+    return out.select(
+        "vec_id", *[F.col("proj")[j].alias(f"p{j}") for j in range(8)])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1855,6 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_scrub": q_dedup_span_scrub,
         "curation_quality_linear": q_curation_quality_linear,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "events_salted_join": q_events_salted_join,
+        "text_chunks": q_text_chunks,
+        "ann_random_projection": q_ann_random_projection,
     }
 
 
@@ -3462,6 +3513,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(freq) AS BIGINT) AS n_total
             FROM pairs GROUP BY pair
             ORDER BY n_total DESC, pair ASC LIMIT 50
+        """,
+        "events_salted_join": """
+            WITH dim AS (
+              SELECT event_type,
+                     CAST(CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+                          % 1000 AS INT) AS type_weight
+              FROM (SELECT DISTINCT event_type FROM events))
+            SELECT e.event_id, e.event_type,
+                   e.value * d.type_weight AS weighted
+            FROM events e JOIN dim d USING (event_type)
+        """,
+        "text_chunks": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            idx AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0, CAST(floor((len(ws) - 1) / 10.0) AS INT))) AS i
+              FROM words WHERE len(ws) > 0)
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(ws[i*10+1 : i*10+20], ' ') AS chunk_text,
+                   CAST(least(len(ws) - i*10, 20) AS INT) AS n_words
+            FROM idx
+        """,
+        "ann_random_projection": f"""
+            SELECT vec_id,
+                   {", ".join(
+                       "round(list_sum(list_transform(generate_series(1, 64), "
+                       "i -> CAST(embedding[i] AS DOUBLE) * "
+                       "(CASE WHEN CAST(('0x' || substr(md5('rp:' || (i-1) || ':' || "
+                       f"{j}), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END))) "
+                       f"/ sqrt(8.0), 6) AS p{j}"
+                       for j in range(8))}
+            FROM embeddings
         """,
         "text_unigram_logprob": """
             WITH words AS (

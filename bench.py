@@ -89,6 +89,9 @@ EXTRAS = [
     "dedup_span_scrub",
     "curation_quality_linear",
     "text_bpe_pairs",
+    "events_salted_join",
+    "text_chunks",
+    "ann_random_projection",
 ]
 
 

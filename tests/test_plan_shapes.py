@@ -150,3 +150,17 @@ def test_duplicate_spans_single_window_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # every Sort feeding the windows is doc_id-partitioned
     assert "partitionspec=[]" not in plan.lower().replace(" ", "")
+
+
+def test_salted_join_keys_include_salt(spark):
+    """skew_salted_join: the physical join condition must include the
+    salt column — that's the property that splits a hot key across
+    tasks."""
+    from waka_spark.operators.joins import skew_salted_join
+
+    big = spark.range(100).select(
+        F.lit("hot").alias("k"), F.col("id").alias("row_id"))
+    small = spark.createDataFrame([("hot", 1)], "k string, w int")
+    plan = plan_of(skew_salted_join(big, small, "k"))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan

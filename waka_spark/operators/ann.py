@@ -574,3 +574,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    Rademacher (±1) projection matrix: out[j] = Σ_i v[i]·sign(i,j) /
+    √out_dim, sign(i,j) = ±1 from the parity of md5("rp:i:j") — the
+    engine-portable analog of Achlioptas 2003's database-friendly random
+    projections.
+
+    Scale shape: the matrix is baked into the plan as LITERAL arrays
+    (in_dim × out_dim ints — a few KB, shipped once with the serialized
+    plan, cheaper than a broadcast for this size), and each output
+    coordinate is one in-row zip_with + aggregate fold — zero shuffle,
+    zero UDF, linearly scan-parallel. The standard pre-pass that makes
+    downstream LSH/IVF/brute-force ANN pay 8 dims instead of 768.
+
+    Output: (vec_id, proj: array<double> length out_dim, rounded 1e-6).
+    """
+    import hashlib
+
+    def sign(i: int, j: int) -> int:
+        h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+    scale = 1.0 / (out_dim ** 0.5)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    coords = []
+    for j in range(out_dim):
+        col_j = F.array(*[F.lit(float(sign(i, j))) for i in range(in_dim)])
+        dot = F.aggregate(
+            F.zip_with(v, col_j, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        coords.append(F.round(dot * scale, 6))
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.array(*coords).alias("proj"))

@@ -518,3 +518,40 @@ def hashed_linear_score(
         F.round(raw, 6).alias("raw_score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/embedding-indexing
+    fan-out every retrieval corpus build runs: chunk i covers words
+    [i*stride, i*stride + chunk_words), one chunk row per window whose
+    start lies inside the document (tail chunks run shorter).
+
+    Pure column ops: the window starts are an in-row ``sequence`` +
+    ``transform`` (no join, no shuffle); ``explode`` is the only fan-out
+    and its multiplicity is ~n_words/stride per doc, the same bound the
+    downstream embedding pass pays anyway. Output: (doc_id, chunk_idx,
+    chunk_text, n_words).
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(words, i * stride + 1, chunk_words), " ")
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_words)).cast("int")
+            .alias("n_words"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("_c"))
+        .select("doc_id", "_c.chunk_idx", "_c.chunk_text", "_c.n_words")
+    )
