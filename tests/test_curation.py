@@ -259,3 +259,30 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert out["ba"]["n_total"] == 3
     assert out["cd"]["n_total"] == 1
     assert "x" not in out  # single-char words contribute nothing
+
+
+def test_corpus_profile_sketches_within_bounds(spark):
+    """Sketch contract: HLL distincts within 3x the configured rsd of the
+    exact values; percentiles exact at this scale (sketch accuracy >> n)."""
+    import math
+
+    from waka_spark.operators.diagnostics import corpus_profile
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 31 + j) % 400}" for j in range(10 + i % 17)))
+         for i in range(300)],
+        "doc_id long, text string")
+    [row] = corpus_profile(docs, rsd=0.02).collect()
+
+    exact_words = (
+        docs.selectExpr("explode(split(text, ' ')) AS w")
+        .select("w").distinct().count())
+    exact_docs = docs.select("text").distinct().count()
+    assert row["n_docs"] == 300
+    assert abs(row["n_distinct_words_approx"] - exact_words) <= math.ceil(
+        3 * 0.02 * exact_words)
+    assert abs(row["n_distinct_docs_approx"] - exact_docs) <= math.ceil(
+        3 * 0.02 * exact_docs)
+    lengths = sorted(10 + i % 17 for i in range(300))
+    assert row["p50_words"] == lengths[int(0.5 * (len(lengths) - 1))]
+    assert row["n_words_total"] == sum(lengths)
