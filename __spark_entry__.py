@@ -1794,6 +1794,34 @@ def q_ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[F.col("proj")[j].alias(f"p{j}") for j in range(8)])
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level frame-sampling fan-out (operators/multimodal.py
+    sample_frames): one row per fixed-stride payload slice — the shape
+    real video frame extraction produces (ASCII payloads let the oracle
+    recompute slices with substr)."""
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    assets = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(assets).select(
+        "asset_id", "frame_idx",
+        F.col("frame_bytes").cast("string").alias("frame_text"),
+        F.col("frame_len").cast("long").alias("frame_len"),
+    )
+
+
+def q_curation_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production training-corpus preparation as ONE lineage
+    (operators/curation.py prepare_corpus): exact-dedup keep-one →
+    Gopher/C4 quality gates → hash split (train only) → token-budget
+    packing — the training-data mirror of kg_e2e_triples."""
+    from waka_spark.operators.curation import prepare_corpus
+
+    return prepare_corpus(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1906,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": q_events_salted_join,
         "text_chunks": q_text_chunks,
         "ann_random_projection": q_ann_random_projection,
+        "curation_prepare_corpus": q_curation_prepare_corpus,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -3548,6 +3578,91 @@ def oracle_sql() -> dict[str, str]:
                        f"/ sqrt(8.0), 6) AS p{j}"
                        for j in range(8))}
             FROM embeddings
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS asset_id,
+                   CAST(f.i AS INT) AS frame_idx,
+                   substr(text, f.i * 64 + 1, 64) AS frame_text,
+                   CAST(octet_length(encode(substr(text, f.i * 64 + 1, 64)))
+                        AS BIGINT) AS frame_len
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0,
+                   CAST(least(floor((octet_length(encode(text)) - 1) / 64.0),
+                              7) AS INT))) AS i) f
+            WHERE octet_length(encode(text)) > 0
+        """,
+        "curation_prepare_corpus": """
+            WITH norm AS (
+              SELECT doc_id, text,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+              FROM documents),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+            w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') ws
+              FROM kept),
+            wc AS (
+              SELECT doc_id, gram, count(*) c FROM (
+                SELECT doc_id, unnest(ws) AS gram FROM w
+              ) WHERE gram <> '' GROUP BY 1, 2),
+            wstats AS (
+              SELECT doc_id, sum(c) n_words, max(c) top_word_count
+              FROM wc GROUP BY 1),
+            bg AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 1, 1)
+                AND array_to_string(ws[i:i+1], ' ') <> ''),
+            bc AS (SELECT doc_id, gram, count(*) c FROM bg GROUP BY 1, 2),
+            bstats AS (
+              SELECT doc_id, sum(c) n_bigrams, count(*) n_distinct_bigrams
+              FROM bc GROUP BY 1),
+            punct AS (
+              SELECT doc_id,
+                     round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+                       AS punct_ratio
+              FROM kept),
+            flags AS (
+              SELECT wstats.doc_id,
+                     CAST(NOT (n_words BETWEEN 20 AND 100000) AS INT)
+                       AS bad_length,
+                     CAST(round(top_word_count / CAST(n_words AS DOUBLE), 6)
+                          > 0.20 AS INT) AS bad_top_word,
+                     CAST(round(COALESCE((n_bigrams - n_distinct_bigrams)
+                          / CAST(n_bigrams AS DOUBLE), 0.0), 6)
+                          > 0.30 AS INT) AS bad_dup_bigram,
+                     CAST(punct_ratio > 0.10 AS INT) AS bad_punct
+              FROM wstats
+              LEFT JOIN bstats USING (doc_id)
+              JOIN punct USING (doc_id)),
+            good AS (
+              SELECT kept.doc_id, kept.text
+              FROM kept JOIN flags USING (doc_id)
+              WHERE bad_length + bad_top_word + bad_dup_bigram + bad_punct = 0),
+            train AS (
+              SELECT doc_id, text FROM good
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) / 4294967296.0 < 0.9),
+            toks AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INT) % 64 AS bucket
+              FROM train)
+            SELECT doc_id, bucket, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_offset,
+                   CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens) / 512.0) AS BIGINT) AS seq_idx
+            FROM toks
         """,
         "text_unigram_logprob": """
             WITH words AS (

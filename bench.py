@@ -92,6 +92,8 @@ EXTRAS = [
     "events_salted_join",
     "text_chunks",
     "ann_random_projection",
+    "curation_prepare_corpus",
+    "multimodal_frames",
 ]
 
 

@@ -286,3 +286,28 @@ def test_corpus_profile_sketches_within_bounds(spark):
     lengths = sorted(10 + i % 17 for i in range(300))
     assert row["p50_words"] == lengths[int(0.5 * (len(lengths) - 1))]
     assert row["n_words_total"] == sum(lengths)
+
+
+def test_prepare_corpus_composition(spark):
+    """E2E corpus prep: dup copies collapse to one, quality-failing docs
+    drop, only the train split packs, and per-bucket offsets are a
+    contiguous token stream."""
+    from waka_spark.operators.curation import prepare_corpus, split_by_hash
+
+    good_text = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, good_text),                      # keeper of the dup pair
+        (2, good_text),                      # exact dup -> dropped
+        (3, "too short"),                    # fails min-words gate
+        (4, " ".join(f"w{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus(docs).collect()}
+
+    train_ids = {
+        r["doc_id"]
+        for r in split_by_hash(docs).filter("split = 'train'").collect()}
+    expected = {1, 4} & train_ids            # survivors that landed in train
+    assert set(out) == expected
+    for r in out.values():
+        assert r["start_offset"] >= 0 and r["seq_idx"] == r["start_offset"] // 512

@@ -97,3 +97,22 @@ def test_random_projection_is_linear(spark):
             for r in random_projection(emb, in_dim=16, out_dim=4).collect()}
     for j in range(4):
         assert rows[2][j] == pytest.approx(rows[0][j] + rows[1][j], abs=2e-6)
+
+
+def test_salted_join_rejects_right_full(skewed):
+    big, small = skewed
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            skew_salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_anti_semi(skewed):
+    big, small = skewed
+    big2 = big.union(big.sparkSession.createDataFrame(
+        [(99, "nowhere", 0.0)], big.schema))
+    anti = sorted(map(tuple,
+                      skew_salted_join(big2, small, "k", how="left_anti").collect()))
+    assert anti == sorted(map(tuple, big2.join(small, "k", "left_anti").collect()))
+    semi = sorted(map(tuple,
+                      skew_salted_join(big2, small, "k", how="left_semi").collect()))
+    assert semi == sorted(map(tuple, big2.join(small, "k", "left_semi").collect()))

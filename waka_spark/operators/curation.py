@@ -555,3 +555,46 @@ def chunk_documents(
         .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("_c"))
         .select("doc_id", "_c.chunk_idx", "_c.chunk_text", "_c.n_words")
     )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """End-to-end training-corpus preparation — the production composition
+    the individual curation/dedup operators exist for, as one lineage:
+
+    1. exact dedup, keep one copy per normalized text (min id keeps),
+    2. Gopher/C4 quality gates (:func:`filter_verdict`, keep == 1),
+    3. deterministic hash split, train split only,
+    4. token-budget sequence packing of the survivors.
+
+    This is the training-data mirror of the KG side's ``kg_e2e_triples``
+    flagship: every stage is the already-tested operator, chained by
+    left-semi joins on the id (the cheapest possible composition — the
+    text column never moves through the dedup/filter/split shuffles, only
+    ids do). Output: pack_sequences' shape (doc_id, bucket, n_tokens,
+    start_offset, seq_idx) over the surviving train docs.
+    """
+    from waka_spark.operators.dedup import exact_dedup
+
+    keepers = exact_dedup(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col))
+    kept = df.join(keepers, id_col, "left_semi")
+
+    good = kept.join(
+        filter_verdict(kept, id_col, text_col)
+        .filter(F.col("keep") == 1)
+        .select(F.col("doc_id").alias(id_col)),
+        id_col, "left_semi",
+    )
+    train = good.join(
+        split_by_hash(good, id_col)
+        .filter(F.col("split") == "train")
+        .select(F.col("doc_id").alias(id_col)),
+        id_col, "left_semi",
+    )
+    return pack_sequences(train, id_col, text_col, budget, n_buckets)

@@ -43,6 +43,16 @@ def skew_salted_join(
     salting is the only way to split a single key). Cost: small side
     ×n_salts.
     """
+    # right/full joins are NOT salting-safe: an unmatched small-side row
+    # exists once per salt replica and would null-extend n_salts times
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"skew_salted_join supports inner/left/semi/anti joins, got "
+            f"{how!r} — a right/full join would duplicate unmatched "
+            f"small-side rows once per salt replica")
     keys = [on] if isinstance(on, str) else list(on)
     salted_big = big.withColumn(
         "_salt",
