@@ -174,10 +174,14 @@ def main() -> None:
             # copies identical fingerprints, so its sf1 cost (measured
             # 255s) is pair materialization of the synthetic replication,
             # not representative near-dup work
+            # curation_prepare_corpus and text_chunks are replication-safe:
+            # prepare_corpus collapses the 10x exact copies in its first
+            # tier (that's its point), chunking is linear per doc
             sf1_subset = [
                 "kg_e2e_triples", "kg_mention_link", "kg_clustering_argmax",
                 "dedup_pipeline", "dedup_ngram_jaccard",
-                "dedup_embedding_cosine",
+                "dedup_embedding_cosine", "curation_prepare_corpus",
+                "text_chunks",
                 "tpch_q1", "tpch_q3_top10",
             ]
             sf1_budget = float(os.environ.get("WAKA_SF1_BUDGET", "600"))
