@@ -12,9 +12,11 @@ Scale shapes (both pure DataFrame ops, no UDFs):
 - ``pagerank``: the Pregel iteration as join+agg. Per round: ranks ⋈
   edges on src (hash join co-partitioned with the edge shuffle), groupBy
   dst (map-side partial sums), one ``localCheckpoint`` to cut lineage
-  (same round discipline as plans/unionfind.py). Edges and degrees are
-  computed once and persisted; each round shuffles only (node, rank)
-  pairs — the minimum possible state. Convergence is a fixed iteration
+  (same round discipline as plans/unionfind.py), and the superseded
+  round's checkpoint blocks RELEASED so executor storage holds two
+  rounds of state, never n_iter (plans/iterate.py). Edges and degrees
+  are computed once and persisted (unpersisted on return); each round
+  shuffles only (node, rank) pairs — the minimum possible state. Convergence is a fixed iteration
   budget (deterministic, oracle-portable) rather than an epsilon test,
   which would add a driver-side action per round.
 - ``triangle_count``: the two-path join with the canonical a<b<c
@@ -68,6 +70,9 @@ def pagerank(
     (node, rank) pairs only; ``localCheckpoint`` flattens lineage so round
     t+1's plan does not replay rounds 1..t.
     """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     out_edges = e.join(deg, "src").persist()
@@ -80,7 +85,7 @@ def pagerank(
     )
     n = nodes.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = ck.checkpoint(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         contribs = (
@@ -92,7 +97,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
+        new_ranks = ck.checkpoint(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -101,8 +106,14 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # round t's ranks are dead once round t+1 is materialized: keep
+        # storage at two rank tables, not n_iter (plans/iterate.py)
+        ck.release(ranks)
+        ranks = new_ranks
+    ck.release_all_except(ranks)
+    for helper in (e, out_edges, nodes):
+        helper.unpersist(False)
     return ranks
 
 
@@ -130,21 +141,27 @@ def bfs_distances(
     table is already the small side and the simple fold keeps every round
     a two-stage job.
     """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    dist = seeds.select(
+    dist = ck.checkpoint(seeds.select(
         F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ))
     for _ in range(n_iter):
         expanded = (
             e.join(dist, e["src"] == dist["node"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        dist = (
+        new_dist = ck.checkpoint(
             dist.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        ck.release(dist)
+        dist = new_dist
+    ck.release_all_except(dist)
+    e.unpersist(False)
     return dist
 
 
@@ -175,6 +192,9 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -183,8 +203,7 @@ def label_propagation(
         .persist()
     )
 
-    labels = nodes.withColumn("community", F.col("node")).localCheckpoint(
-        eager=True)
+    labels = ck.checkpoint(nodes.withColumn("community", F.col("node")))
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("community").asc())
     for _ in range(n_iter):
@@ -196,15 +215,19 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "community")
         )
-        labels = (
+        new_labels = ck.checkpoint(
             labels.join(neigh.withColumnRenamed("community", "_new"),
                         "node", "left")
             .select(
                 "node",
                 F.coalesce("_new", "community").alias("community"),
             )
-            .localCheckpoint(eager=True)
         )
+        ck.release(labels)
+        labels = new_labels
+    ck.release_all_except(labels)
+    for helper in (e, nodes):
+        helper.unpersist(False)
     return labels
 
 
@@ -229,12 +252,13 @@ def k_core(
     endpoint (hash joins on the node key) + one count agg — survivor
     state is (node) only; ``localCheckpoint`` cuts lineage each round.
     """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    alive = (
-        e.select(F.col("src").alias("node")).distinct()
-        .localCheckpoint(eager=True)
-    )
+    alive = ck.checkpoint(e.select(F.col("src").alias("node")).distinct())
     deg = None
+    prev_alive = None
     for _ in range(n_iter):
         live_edges = (
             e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
@@ -245,8 +269,17 @@ def k_core(
             .agg(F.count("*").cast("long").alias("degree"))
             .filter(F.col("degree") >= k)
         )
-        alive = deg.select("node").localCheckpoint(eager=True)
-    return deg.localCheckpoint(eager=True)
+        new_alive = ck.checkpoint(deg.select("node"))
+        # release lags ONE round: the lazy `deg` kept for the final
+        # re-evaluation below still reads this round's INPUT survivor set,
+        # so only the round-before-last's alive is provably dead here
+        if prev_alive is not None:
+            ck.release(prev_alive)
+        prev_alive, alive = alive, new_alive
+    result = ck.checkpoint(deg)
+    ck.release_all_except(result)
+    e.unpersist(False)
+    return result
 
 
 def common_neighbors(

@@ -40,7 +40,10 @@ def connected_components(
     Isolated nodes absent from ``edges`` are their own components (callers
     left-join and coalesce to the node id).
     """
-    sym = (
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
+    sym = ck.checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
@@ -49,13 +52,11 @@ def connected_components(
         # without the cut each round would replay the whole upstream edge
         # plan (for dedup clustering that's the full shingle-join pair
         # generation — measured 41.5s -> ~8s for dedup_clusters at sf0.1)
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ck.checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -75,14 +76,13 @@ def connected_components(
         lbl_map = propagated.select(
             F.col("node").alias("_m_node"), F.col("component").alias("_m_comp")
         )
-        new_labels = (
+        new_labels = ck.checkpoint(
             propagated
             .join(lbl_map, propagated["component"] == lbl_map["_m_node"], "left")
             .select(
                 "node",
                 F.coalesce("_m_comp", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -91,9 +91,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the previous round's labels are dead once the convergence check
+        # above has run — release its blocks so storage holds TWO label
+        # tables at any time, not one per round (25 rounds x a 10^9-node
+        # label table would evict the rest of the job's cached state)
+        ck.release(labels)
         labels = new_labels
         if changed == 0:
             break
+    ck.release_all_except(labels)
     return labels
 
 
