@@ -388,6 +388,43 @@ def test_common_neighbors_square(spark):
     assert got == {(1, 3): 2, (2, 4): 2}
 
 
+def test_common_neighbors_hub_cap(spark):
+    """Star hub 0—{1..5} plus square 1-2-3-4-1: with max_hub_degree=4 the
+    degree-5 hub is excluded from wedge generation, so only the square's
+    diagonals survive; uncapped, hub wedges add 1-common pairs like (1,5).
+    Existing-edge exclusion still uses the FULL edge set under the cap."""
+    from waka_spark.operators.graph import common_neighbors, symmetrize
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (4, 1)],
+        "doc_a int, doc_b int")
+    e = symmetrize(pairs)
+    uncapped = {(r["node_a"], r["node_b"]): r["n_common"]
+                for r in common_neighbors(e, min_common=1).collect()}
+    capped = {(r["node_a"], r["node_b"]): r["n_common"]
+              for r in common_neighbors(
+                  e, min_common=1, max_hub_degree=4).collect()}
+    assert (1, 5) in uncapped and (1, 5) not in capped
+    # diagonals keep their square-only wedge counts; hub-adjacent pairs
+    # (0, x) never appear in either (adjacent via the full edge set)
+    assert capped == {(1, 3): 2, (2, 4): 2}
+    assert not any(a == 0 for a, _ in uncapped)
+
+
+def test_triangle_count_skewed_star(spark):
+    """Hub star + one triangle hanging off it: degree-ordered orientation
+    must count exactly the closed triangles (hub-leaf wedges never close).
+    Hub 0—{1..8}, triangle (1, 2) closes with hub edges 0-1, 0-2 → 1
+    triangle through the hub; plus disjoint triangle (10, 11, 12)."""
+    from waka_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)]
+        + [(1, 2), (10, 11), (11, 12), (12, 10)],
+        "src int, dst int")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 2
+
+
 def test_sessionize_gap_cut(spark):
     from waka_spark.operators.temporal import sessionize
 

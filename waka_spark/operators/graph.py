@@ -287,6 +287,7 @@ def common_neighbors(
     min_common: int = 2,
     src: str = "src",
     dst: str = "dst",
+    max_hub_degree: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over an undirected graph:
     non-adjacent node pairs ranked by shared-neighbor count →
@@ -296,11 +297,17 @@ def common_neighbors(
     two entities sharing many neighbors but no edge are merge or
     link-prediction candidates.
 
-    Scale shape: one two-path self-join through the mid node (the same
-    wedge enumeration as triangle_count — hub nodes dominate the fan-out,
-    so degree-cap upstream on hubby graphs), one count agg on the pair,
-    one left-anti join against the existing edge set. ``min_common``
-    prunes the long tail of 1-wedge pairs before the anti-join.
+    Scale shape: one two-path self-join through the mid node — unlike
+    triangle_count, the PAIR set itself is the answer here, so wedge work
+    through a degree-d hub is irreducibly O(d^2). ``max_hub_degree`` is
+    the scale knob: mid nodes above the cap are excluded from wedge
+    generation (a node adjacent to everything carries no link-prediction
+    signal — the standard hub-suppression heuristic; IDF-weighted
+    variants like Adamic-Adar discount the same nodes smoothly). Default
+    None keeps exact semantics (and the DuckDB oracle). Then one count
+    agg on the pair and one left-anti join against the existing edge set;
+    ``min_common`` prunes the long tail of 1-wedge pairs before the
+    anti-join.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -308,9 +315,19 @@ def common_neighbors(
         .distinct()
         .persist()
     )
+    # hub cap narrows WEDGE GENERATION only; the adjacency anti-join below
+    # still sees every edge, so capped output never re-proposes a pair
+    # that is already linked through a hub
+    mids = e
+    if max_hub_degree is not None:
+        mid_deg = e.groupBy("dst").agg(F.count("*").alias("_d"))
+        mids = (
+            e.join(mid_deg.filter(F.col("_d") <= max_hub_degree)
+                   .select("dst"), "dst", "left_semi")
+        )
     # wedges a—y—b with a<b: every unordered pair counted once per shared y
-    left = e.select(F.col("dst").alias("y"), F.col("src").alias("a"))
-    right = e.select(F.col("dst").alias("y"), F.col("src").alias("b"))
+    left = mids.select(F.col("dst").alias("y"), F.col("src").alias("a"))
+    right = mids.select(F.col("dst").alias("y"), F.col("src").alias("b"))
     pairs = (
         left.join(right, "y")
         .filter(F.col("a") < F.col("b"))
@@ -331,9 +348,21 @@ def common_neighbors(
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Total triangles in the undirected graph induced by ``edges``.
 
-    Canonical-order join: keep each undirected edge once as (lo, hi);
-    two-paths (a<b, b<c) close into triangles iff (a, c) is also an edge.
-    Returns a single row (n_triangles).
+    Degree-ordered orientation (Suri & Vassilvitskii, "Counting Triangles
+    and the Curse of the Last Reducer", WWW'11): orient each undirected
+    edge from its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges only between a node's ORIENTED out-neighbors, and close a
+    triangle iff the oriented edge between the two wedge tips exists.
+    Every node's oriented out-degree is O(sqrt(m)), so total wedge work is
+    O(m^1.5) regardless of hub degree — lexicographic orientation (the
+    naive a<b<c join) instead puts a hub's entire neighborhood behind one
+    low-id key and goes quadratic on exactly the skewed graphs a KG
+    similarity graph is (Zipf-hot entities). Result is identical: each
+    triangle has exactly one lowest-(degree, id) apex.
+
+    Plan shape: one hash-agg for degrees, two hash joins to attach them,
+    one self-join on the wedge apex, one closure join on the tip pair,
+    one global count. Returns a single row (n_triangles).
     """
     canon = (
         edges.select(
@@ -344,11 +373,34 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
         .persist()
     )
-    ab = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    two_paths = ab.join(bc, "y").select("x", "y", "z")
-    closing = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "a")
+                   .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+              .withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    # wedges between out-neighbors of u, deduped by the same (deg, id) order
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    ).select("x", "y")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     return (
-        two_paths.join(closing, ["x", "z"])
+        wedges.join(closing, ["x", "y"])
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
