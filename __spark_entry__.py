@@ -1746,6 +1746,32 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py bpe_learn):
+    5 merge rounds over the corpus vocabulary — per round one pair-count
+    hash-agg + a single-row argmax + a literal replace on the vocab. The
+    oracle replays the identical loop as chained DuckDB CTEs (the
+    bracketed-symbol representation makes left-to-right literal replace
+    byte-identical across engines)."""
+    from waka_spark.operators.bpe import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), n_merges=5)
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with the 5 learned merges (operators/bpe.py
+    bpe_tokenize): merges apply to the DISTINCT word table as chained
+    literal replaces (one JVM projection), then a broadcast join carries
+    word→token-count back onto the corpus — the corpus never runs the
+    merge loop. Output: per-doc (n_words, n_tokens)."""
+    from waka_spark.operators.bpe import bpe_learn, bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_learn(docs, n_merges=5).collect()]
+    return bpe_tokenize(docs, merges)
+
+
 def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe equi-join (operators/joins.py skew_salted_join): events
     (big, event_type is Zipf-hot — a handful of values over the whole
@@ -1931,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_scrub": q_dedup_span_scrub,
         "curation_quality_linear": q_curation_quality_linear,
         "text_bpe_pairs": q_text_bpe_pairs,
+        "text_bpe_learn": q_text_bpe_learn,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
         "events_salted_join": q_events_salted_join,
         "text_chunks": q_text_chunks,
         "ann_random_projection": q_ann_random_projection,
@@ -3543,6 +3571,164 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(freq) AS BIGINT) AS n_total
             FROM pairs GROUP BY pair
             ORDER BY n_total DESC, pair ASC LIMIT 50
+        """,
+        "text_bpe_learn": """
+            WITH words AS (
+              SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            v0 AS (
+              SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS sym,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM words WHERE regexp_full_match(word, '[a-z0-9]+')
+              GROUP BY word),
+            p0 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v0) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b0 AS (SELECT lhs, rhs, c FROM p0
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v1 AS (
+              SELECT replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v0 CROSS JOIN b0 b),
+            p1 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v1) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b1 AS (SELECT lhs, rhs, c FROM p1
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v2 AS (
+              SELECT replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v1 CROSS JOIN b1 b),
+            p2 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v2) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b2 AS (SELECT lhs, rhs, c FROM p2
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v3 AS (
+              SELECT replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v2 CROSS JOIN b2 b),
+            p3 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v3) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b3 AS (SELECT lhs, rhs, c FROM p3
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v4 AS (
+              SELECT replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v3 CROSS JOIN b3 b),
+            p4 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v4) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b4 AS (SELECT lhs, rhs, c FROM p4
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v5 AS (
+              SELECT replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v4 CROSS JOIN b4 b)
+            SELECT * FROM (
+              SELECT 0 AS merge_idx, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b0
+              UNION ALL SELECT 1 AS merge_idx, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b1
+              UNION ALL SELECT 2 AS merge_idx, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b2
+              UNION ALL SELECT 3 AS merge_idx, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b3
+              UNION ALL SELECT 4 AS merge_idx, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b4
+            ) ORDER BY merge_idx
+        """,
+        "text_bpe_tokenize": """
+            WITH docwords AS (
+              SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            v0 AS (
+              SELECT word, regexp_replace(word, '(.)', '[\\1]', 'g') AS sym,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM docwords WHERE regexp_full_match(word, '[a-z0-9]+')
+              GROUP BY word),
+            p0 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT word, string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v0) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b0 AS (SELECT lhs, rhs, c FROM p0
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v1 AS (
+              SELECT word, replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v0 CROSS JOIN b0 b),
+            p1 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT word, string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v1) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b1 AS (SELECT lhs, rhs, c FROM p1
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v2 AS (
+              SELECT word, replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v1 CROSS JOIN b1 b),
+            p2 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT word, string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v2) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b2 AS (SELECT lhs, rhs, c FROM p2
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v3 AS (
+              SELECT word, replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v2 CROSS JOIN b2 b),
+            p3 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT word, string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v3) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b3 AS (SELECT lhs, rhs, c FROM p3
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v4 AS (
+              SELECT word, replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v3 CROSS JOIN b3 b),
+            p4 AS (
+              SELECT s[i] AS lhs, s[i+1] AS rhs, SUM(cnt) AS c
+              FROM (SELECT word, string_split(substr(sym, 2, length(sym)-2), '][') AS s, cnt
+                    FROM v4) t,
+                   LATERAL (SELECT unnest(generate_series(1, len(t.s)-1)) AS i) ii
+              GROUP BY 1, 2),
+            b4 AS (SELECT lhs, rhs, c FROM p4
+                     ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+            v5 AS (
+              SELECT word, replace(sym, '['||b.lhs||']['||b.rhs||']',
+                             '['||b.lhs||b.rhs||']') AS sym, cnt
+              FROM v4 CROSS JOIN b4 b),
+            tok AS (
+              SELECT word,
+                     len(string_split(substr(sym, 2, length(sym)-2), '][')) AS wt
+              FROM v5)
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(SUM(t.wt) AS BIGINT) AS n_tokens
+            FROM docwords d JOIN tok t USING (word)
+            GROUP BY d.doc_id
         """,
         "events_salted_join": """
             WITH dim AS (

@@ -94,6 +94,8 @@ EXTRAS = [
     "ann_random_projection",
     "curation_prepare_corpus",
     "multimodal_frames",
+    "text_bpe_learn",
+    "text_bpe_tokenize",
 ]
 
 
