@@ -1848,6 +1848,197 @@ def q_curation_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means codebook training (operators/ann.py
+    kmeans_fit, k=8, 2 Lloyd iterations): narrow argmax-cosine assignment
+    against the broadcast codebook + one k×dim hash-agg per iteration —
+    the IVF-codebook trainer, flattened to (cell, dim_idx, centroid_val,
+    n_vecs) rows."""
+    from waka_spark.operators.ann import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return kmeans_fit(emb, k=8, n_iters=2)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/ann.py semantic_dedup): k-means cells bound the
+    within-cell cosine pair generation, larger id of every ≥τ pair marked
+    duplicate — the embedding-space keep-one-per-near-dup-group pass."""
+    from waka_spark.operators.ann import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return semantic_dedup(emb, k=8, n_iters=2, threshold=0.46)
+
+
+def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/curation.py dsir_importance):
+    hashed-bigram log-likelihood-ratio weights (target = lang='en') as a
+    broadcast table, per-doc mean weight — the importance-resampling
+    selector over raw web data."""
+    from waka_spark.operators.curation import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, target=F.col("lang") == "en", n_buckets=1024)
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (operators/graph.py random_walks,
+    3 steps) over the SimHash similarity graph: hash-argmin neighbor
+    choice, one frontier join + min-struct agg per step — the DeepWalk
+    sequence generator for graph-embedding training."""
+    from waka_spark.operators.graph import random_walks
+
+    return random_walks(_simhash_graph(spark, sf_dir), length=3).select(
+        F.col("walk_id"), F.col("step"), F.col("node"))
+
+
+def q_kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair PMI over conversations (operators/graph.py
+    cooccurrence_pmi on the mention-link output): the relatedness signal
+    that proposes candidate relations between entities that keep showing
+    up together."""
+    from waka_spark import schemas
+    from waka_spark.operators.graph import cooccurrence_pmi
+    from waka_spark.operators.linking import link_entities
+    from waka_spark.operators.ner import gazetteer_ner
+
+    docs = q_kg_assembly(spark, sf_dir)
+    mentions = gazetteer_ner(docs, GAZ)
+    aliases = spark.createDataFrame(ALIASES, schemas.WD_ALIASES)
+    cands = link_entities(mentions, aliases)
+    return cooccurrence_pmi(
+        cands.select("conv_id", "url"), "conv_id", "url")
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs (operators/dedup.py containment_pairs):
+    the asymmetric |A∩B|/|A| measure that catches subset duplication
+    (doc quoted wholesale inside a longer one) which Jaccard suppresses."""
+    from waka_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.4)
+
+
+def q_events_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals (operators/temporal.py validity_intervals):
+    the event stream collapsed to per-user state-change history — one
+    shuffle, two windows over the same partitioning."""
+    from waka_spark.operators.temporal import validity_intervals
+
+    return validity_intervals(_t(spark, sf_dir, "events"))
+
+
+def q_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall curve (operators/ann.py
+    matryoshka_recall): brute-force top-5 at 8/16/32 of 64 dims vs the
+    full-dim ranking — the measured footprint-vs-recall tradeoff."""
+    from waka_spark.operators.ann import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return matryoshka_recall(emb, queries, dims=(8, 16, 32), k=5)
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/ann.py hard_negatives):
+    per query, top-5 most-similar vectors with a DIFFERENT label — the
+    near-miss negatives embedding training needs."""
+    from waka_spark.operators.ann import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    return hard_negatives(emb, queries, k=5)
+
+
+def q_text_kl_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution drift (operators/textstats.py
+    slice_kl_divergence): Laplace-smoothed KL of each lang slice's
+    hashed-unigram distribution against the corpus blend."""
+    from waka_spark.operators.textstats import slice_kl_divergence
+
+    return slice_kl_divergence(
+        _t(spark, sf_dir, "documents"), slice_col="lang", n_buckets=256)
+
+
+def _role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → transcripts with the conv_turn_transitions role
+    convention (turn_idx % 3 → user/assistant/tool)."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = max(50, docs.count() // 100)
+    turn = (F.col("doc_id") / mod).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (turn % 3) + 1)
+    return docs.select(
+        (F.col("doc_id") % mod).cast("string").alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        "text",
+    )
+
+
+def q_conv_context_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted context-window selection (operators/transcripts.py
+    context_tail, budget 200): newest-first suffix of each conversation
+    that fits the window — one reverse-cumsum window per conv."""
+    from waka_spark.operators.transcripts import context_tail
+
+    return context_tail(
+        _role_transcripts(spark, sf_dir), token_budget=200)
+
+
+def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation SFT loss-mask accounting (operators/transcripts.py
+    loss_mask_stats): tokens the loss trains on when only assistant turns
+    are unmasked."""
+    from waka_spark.operators.transcripts import loss_mask_stats
+
+    return loss_mask_stats(_role_transcripts(spark, sf_dir))
+
+
+def q_curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the Gopher-style quality score against the
+    lang='en' pseudo-label (operators/curation.py score_auc): rank-sum
+    over distinct-score groups — the single calibration number for the
+    classifier, computed without ever sorting the corpus."""
+    from waka_spark.operators.curation import score_auc
+    from waka_spark.operators.textstats import quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_scores(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id")
+    return score_auc(scored, "quality_score", "is_en")
+
+
+def q_ann_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space covariance upper triangle (operators/ann.py
+    covariance_matrix): one dim×dim Gram partial per Arrow batch via
+    numpy GEMM, folded in a hash-agg — the PCA/whitening/anisotropy
+    pre-pass, shuffle volume independent of corpus size."""
+    from waka_spark.operators.ann import covariance_matrix
+
+    return covariance_matrix(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MOSS winnowing (operators/textstats.py winnowing_fingerprints,
+    3-word k-grams, window 4): rightmost-min hash per sliding window via a
+    bounded window-start fan-out + one argmin hash-agg — guaranteed-
+    coverage local fingerprints for substring-level dup detection."""
+    from waka_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), kgram=3, window=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1964,11 +2155,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_random_projection": q_ann_random_projection,
         "curation_prepare_corpus": q_curation_prepare_corpus,
         "multimodal_frames": q_multimodal_frames,
+        "ann_kmeans": q_ann_kmeans,
+        "dedup_semantic": q_dedup_semantic,
+        "curation_dsir": q_curation_dsir,
+        "text_winnowing": q_text_winnowing,
+        "graph_walks": q_graph_walks,
+        "kg_entity_pmi": q_kg_entity_pmi,
+        "dedup_containment": q_dedup_containment,
+        "events_validity": q_events_validity,
+        "ann_matryoshka": q_ann_matryoshka,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "text_kl_slices": q_text_kl_slices,
+        "conv_context_tail": q_conv_context_tail,
+        "conv_loss_mask": q_conv_loss_mask,
+        "curation_quality_auc": q_curation_quality_auc,
+        "ann_covariance": q_ann_covariance,
     }
 
 
 _CONV = "CAST(doc_id % 50 AS VARCHAR)"
 _TURN = "(doc_id // 50)"
+
+# Two Lloyd iterations of spherical k-means (k=8, dim=64) as shared CTEs —
+# the DuckDB replay of operators/ann.kmeans_fit's deterministic loop
+# (init = k lowest ids, argmax rounded cosine with lowest-cell ties,
+# per-cell elementwise mean rounded 1e-6 per iteration, empty cells keep
+# the previous centroid). Used by ann_kmeans and dedup_semantic.
+_KMEANS_CTE = """
+            emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     list_transform(v, x -> round(x, 6)) AS cent
+              FROM emb ORDER BY vec_id LIMIT 8
+            ),
+            a1 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.cent),
+                                        6) DESC,
+                                  c.cell ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN c0 c
+              ) WHERE rn = 1
+            ),
+            u1 AS (
+              SELECT cell, i, round(avg(v[i]), 6) AS cv
+              FROM a1
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+              GROUP BY cell, i
+            ),
+            c1 AS (
+              SELECT c0.cell, coalesce(u.cent, c0.cent) AS cent
+              FROM c0 LEFT JOIN (
+                SELECT cell, list(cv ORDER BY i) AS cent FROM u1
+                GROUP BY cell
+              ) u ON c0.cell = u.cell
+            ),
+            a2 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.cent),
+                                        6) DESC,
+                                  c.cell ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN c1 c
+              ) WHERE rn = 1
+            ),
+            u2 AS (
+              SELECT cell, i, round(avg(v[i]), 6) AS cv
+              FROM a2
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+              GROUP BY cell, i
+            ),
+            c2 AS (
+              SELECT c1.cell, coalesce(u.cent, c1.cent) AS cent
+              FROM c1 LEFT JOIN (
+                SELECT cell, list(cv ORDER BY i) AS cent FROM u2
+                GROUP BY cell
+              ) u ON c1.cell = u.cell
+            )"""
 
 # SimHash fingerprint + banded candidate pairs as shared CTEs (used by the
 # dedup_simhash_pairs oracle and the graph-analytics oracles that build on
@@ -2033,6 +2306,82 @@ g_deg AS (SELECT src, count(*) AS outdeg FROM g_edges GROUP BY src),
 g_nodes AS (SELECT DISTINCT src AS node FROM g_edges),
 g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)
 """
+
+
+def _matryoshka_sql(dims=(8, 16, 32), k: int = 5) -> str:
+    """Truncated-dim brute-force recall vs full-dim top-k as chained CTEs
+    (ann_matryoshka oracle) — the SQL replay of ann.matryoshka_recall."""
+    base = """
+            emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb
+                  WHERE vec_id < 3),
+            ex AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY round(list_cosine_similarity(e.v, q.q_vec),
+                                        6) DESC, e.vec_id ASC
+                       ) AS rn
+                FROM emb e, q WHERE e.vec_id <> q.q_id
+              ) WHERE rn <= {k}
+            )""".format(k=k)
+    dim_ctes, unions = [], []
+    for d in dims:
+        dim_ctes.append("""
+            tr{d} AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY round(list_cosine_similarity(
+                                    e.v[1:{d}], q.q_vec[1:{d}]), 6) DESC,
+                                  e.vec_id ASC
+                       ) AS rn
+                FROM emb e, q WHERE e.vec_id <> q.q_id
+              ) WHERE rn <= {k}
+            ),
+            r{d} AS (
+              SELECT CAST({d} AS INT) AS dim,
+                     CAST(count(*) AS BIGINT) AS n_queries,
+                     round(avg(q_recall), 6) AS avg_recall
+              FROM (
+                SELECT ex.q_id,
+                       CAST(count(tr{d}.vec_id) AS DOUBLE)
+                         / count(*) AS q_recall
+                FROM ex LEFT JOIN tr{d}
+                  ON ex.q_id = tr{d}.q_id AND ex.vec_id = tr{d}.vec_id
+                GROUP BY ex.q_id
+              )
+            )""".format(d=d, k=k))
+        unions.append(f"SELECT * FROM r{d}")
+    return (
+        "WITH " + base + "," + ",".join(dim_ctes)
+        + " " + " UNION ALL ".join(unions)
+    )
+
+
+# three deterministic random-walk hops as chained CTEs (graph_walks
+# oracle): step s picks the out-neighbor minimizing md5(walk:s:dst) —
+# the SQL replay of operators/graph.random_walks' min-struct argmin
+_WALK_STEPS_SQL = ",\n".join(
+    f"""w{s} AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT w.walk_id, e.dst,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5(CAST(w.walk_id AS VARCHAR) || ':{s}:'
+                          || CAST(e.dst AS VARCHAR)) ASC, e.dst ASC
+           ) AS rn
+    FROM w{s - 1} w JOIN g_edges e ON e.src = w.cur
+  ) WHERE rn = 1
+)"""
+    for s in range(1, 4)
+)
 
 
 def _bfs_sql(n_iter: int = 4, seed_mod: int = 97) -> str:
@@ -4253,6 +4602,356 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM lagged WHERE prev_role IS NOT NULL
             GROUP BY prev_role, role
+        """,
+        "ann_kmeans": f"""
+            WITH {_KMEANS_CTE}
+            SELECT c2.cell, idx.i - 1 AS dim_idx,
+                   c2.cent[idx.i] AS centroid_val,
+                   coalesce(n.n, 0) AS n_vecs
+            FROM c2
+            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) idx
+            LEFT JOIN (
+              SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY cell
+            ) n ON c2.cell = n.cell
+        """,
+        "dedup_semantic": f"""
+            WITH {_KMEANS_CTE},
+            a3 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.cent),
+                                        6) DESC,
+                                  c.cell ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN c2 c
+              ) WHERE rn = 1
+            ),
+            dups AS (
+              SELECT DISTINCT b.vec_id AS dup_id
+              FROM a3 a JOIN a3 b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.46
+            )
+            SELECT a3.vec_id, a3.cell,
+                   (a3.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
+            FROM a3
+        """,
+        "curation_dsir": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS ws
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, (lang = 'en') AS is_t,
+                     CAST(('0x' || substr(
+                       md5(array_to_string(ws[i:i+1], ' ')), 1, 8)) AS BIGINT)
+                       % 1024 AS bucket
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 1, 1)
+                AND array_to_string(ws[i:i+1], ' ') <> ''
+            ),
+            cnt AS (
+              SELECT bucket,
+                     CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t_cnt,
+                     CAST(count(*) AS BIGINT) AS r_cnt
+              FROM f GROUP BY bucket
+            ),
+            tot AS (
+              SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cnt
+            ),
+            wt AS (
+              SELECT bucket,
+                     ln((t_cnt + 1.0) / (t_tot + 1024.0))
+                     - ln((r_cnt + 1.0) / (r_tot + 1024.0)) AS weight
+              FROM cnt, tot
+            )
+            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(avg(wt.weight), 6) AS score
+            FROM f JOIN wt USING (bucket)
+            GROUP BY f.doc_id
+        """,
+        "text_winnowing": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS ws
+              FROM documents
+            ),
+            kg AS (
+              SELECT doc_id, len(ws) - 2 AS n_kg, i - 1 AS pos,
+                     CAST(('0x' || substr(
+                       md5(array_to_string(ws[i:i+2], ' ')), 1, 8)) AS BIGINT)
+                       AS fp_hash
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE len(ws) >= 3 AND i <= len(ws) - 2
+            ),
+            wins AS (
+              SELECT doc_id, pos, fp_hash, pos - j AS t
+              FROM kg, (SELECT unnest(generate_series(0, 3)) AS j) g
+              WHERE pos - j >= 0 AND pos - j <= greatest(n_kg - 4, 0)
+            ),
+            sel AS (
+              SELECT doc_id, pos, fp_hash FROM (
+                SELECT doc_id, t, pos, fp_hash,
+                       row_number() OVER (
+                         PARTITION BY doc_id, t
+                         ORDER BY fp_hash ASC, pos DESC
+                       ) AS rn
+                FROM wins
+              ) WHERE rn = 1
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp_hash
+            FROM sel
+        """,
+        "graph_walks": f"""
+            WITH {_SIMHASH_GRAPH_CTES},
+            w0 AS (SELECT node AS walk_id, node AS cur FROM g_nodes),
+            {_WALK_STEPS_SQL}
+            SELECT walk_id, 0 AS step, cur AS node FROM w0
+            UNION ALL SELECT walk_id, 1, cur FROM w1
+            UNION ALL SELECT walk_id, 2, cur FROM w2
+            UNION ALL SELECT walk_id, 3, cur FROM w3
+        """,
+        "kg_entity_pmi": f"""
+            WITH {_ASSEMBLY_CTE},
+            gaz(surface, url, frequency) AS (VALUES {_ALIAS_VALUES}),
+            hits AS (
+              SELECT DISTINCT conv_id, url
+              FROM conv, gaz
+              WHERE len(list_filter(string_split(text, ' '),
+                                    x -> x = surface)) > 0
+            ),
+            ng AS (
+              SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups
+              FROM hits
+            ),
+            marg AS (
+              SELECT url, CAST(count(*) AS BIGINT) AS n_item
+              FROM hits GROUP BY url
+            ),
+            pairs AS (
+              SELECT a.url AS item_a, b.url AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM hits a JOIN hits b
+                ON a.conv_id = b.conv_id AND a.url < b.url
+              GROUP BY 1, 2
+            )
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   round(ln(p.n_ab * ng.n_groups
+                            / (ma.n_item * mb.n_item)), 6) AS pmi
+            FROM pairs p
+            JOIN marg ma ON p.item_a = ma.url
+            JOIN marg mb ON p.item_b = mb.url, ng
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLES_CTE},
+            sz AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM s GROUP BY doc_id
+            ),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM s a JOIN s b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   round(n_common / sa.n, 6) AS cont_a,
+                   round(n_common / sb.n, 6) AS cont_b
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE round(n_common / sa.n, 6) >= 0.4
+               OR round(n_common / sb.n, 6) >= 0.4
+        """,
+        "events_validity": """
+            WITH ch AS (
+              SELECT user_id AS key, event_type AS state, ts,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type
+                     ) AS prev
+              FROM events
+            )
+            SELECT key, state, ts AS valid_from,
+                   lead(ts) OVER (
+                     PARTITION BY key ORDER BY ts, state
+                   ) AS valid_to
+            FROM ch WHERE prev IS NULL OR state <> prev
+        """,
+        "ann_matryoshka": _matryoshka_sql(dims=(8, 16, 32), k=5),
+        "ann_hard_negatives": """
+            WITH emb AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            )
+            SELECT q_id, vec_id, neg_label, cos, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id, e.label AS neg_label,
+                     round(list_cosine_similarity(e.v, q.v), 6) AS cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, q.v), 6)
+                                  DESC,
+                                e.vec_id ASC
+                     ) AS INT) AS rank
+              FROM emb e, emb q
+              WHERE q.vec_id < 5 AND e.label <> q.label
+                AND e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "text_kl_slices": """
+            WITH toks AS (
+              SELECT lang AS slice,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')) AS word
+              FROM documents
+            ),
+            sb AS (
+              SELECT slice,
+                     CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 256
+                       AS bucket,
+                     CAST(count(*) AS BIGINT) AS c_sb
+              FROM toks WHERE word <> ''
+              GROUP BY 1, 2
+            ),
+            corpus AS (SELECT bucket, sum(c_sb) AS c_b FROM sb GROUP BY 1),
+            tot AS (SELECT sum(c_b) AS n_corpus FROM corpus),
+            sl AS (SELECT slice, sum(c_sb) AS n_slice FROM sb GROUP BY 1),
+            dense AS (
+              SELECT sl.slice, sl.n_slice, coalesce(c.c_b, 0) AS c_b,
+                     coalesce(s2.c_sb, 0) AS c_sb, tot.n_corpus
+              FROM sl
+              CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) bk
+              LEFT JOIN corpus c ON c.bucket = bk.bucket
+              LEFT JOIN sb s2 ON s2.slice = sl.slice
+                             AND s2.bucket = bk.bucket
+              CROSS JOIN tot
+            )
+            SELECT slice, CAST(n_slice AS BIGINT) AS n_tokens,
+                   round(sum(
+                     ((c_sb + 1.0) / (n_slice + 256.0))
+                     * ln(((c_sb + 1.0) / (n_slice + 256.0))
+                          / ((c_b + 1.0) / (n_corpus + 256.0)))
+                   ), 6) AS kl
+            FROM dense GROUP BY slice, n_slice
+        """,
+        "conv_context_tail": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     CAST(len(list_filter(
+                       string_split(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         ' '),
+                       w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT conv_id, turn_idx, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens_from_end,
+                   sum(n_tokens) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS UNBOUNDED PRECEDING
+                   ) <= 200 AS kept
+            FROM t
+        """,
+        "conv_loss_mask": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     ({_TURN}) % 3 AS role_idx,
+                     CAST(len(list_filter(
+                       string_split(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         ' '),
+                       w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN role_idx = 1 THEN n_tokens
+                                 ELSE 0 END) AS BIGINT) AS trained_tokens,
+                   round(sum(CASE WHEN role_idx = 1 THEN n_tokens
+                                  ELSE 0 END)
+                         / CAST(greatest(sum(n_tokens), 1) AS DOUBLE), 6)
+                     AS mask_ratio
+            FROM t GROUP BY conv_id
+        """,
+        "curation_quality_auc": f"""
+            WITH w AS (
+              SELECT doc_id, text, (lang = 'en') AS is_en,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS ws
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, is_en,
+                     CAST(len(ws) AS INT) AS n_words,
+                     len(list_filter(ws, x -> list_contains({EN_STOP_SQL}, x)))
+                       / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS punct_ratio
+              FROM w
+            ),
+            q AS (
+              SELECT is_en,
+                     round(least(n_words / 100.0, 1.0) * 0.4
+                           + least(stop_ratio * 5.0, 1.0) * 0.4
+                           + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6)
+                       AS s
+              FROM feat
+            ),
+            by_score AS (
+              SELECT s,
+                     CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS p,
+                     CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n
+              FROM q GROUP BY s
+            ),
+            r AS (
+              SELECT p, n,
+                     coalesce(sum(n) OVER (
+                       ORDER BY s ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_below
+              FROM by_score
+            )
+            SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(n) AS BIGINT) AS n_neg,
+                   round(sum(p * (n_below + n / 2.0))
+                         / (sum(p) * sum(n)), 6) AS auc
+            FROM r
+        """,
+        "ann_covariance": """
+            WITH emb AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT i.i, j.j
+              FROM (SELECT unnest(generate_series(1, 64)) AS i) i,
+                   (SELECT unnest(generate_series(1, 64)) AS j) j
+              WHERE i.i <= j.j
+            )
+            SELECT CAST(c.i - 1 AS INT) AS i, CAST(c.j - 1 AS INT) AS j,
+                   round(sum(v[c.i] * v[c.j]) / count(*)
+                         - (sum(v[c.i]) / count(*))
+                           * (sum(v[c.j]) / count(*)), 6) + 0.0 AS cov
+            FROM emb, cells c GROUP BY c.i, c.j
         """,
     }
 

@@ -96,6 +96,21 @@ EXTRAS = [
     "multimodal_frames",
     "text_bpe_learn",
     "text_bpe_tokenize",
+    "ann_kmeans",
+    "dedup_semantic",
+    "curation_dsir",
+    "text_winnowing",
+    "graph_walks",
+    "kg_entity_pmi",
+    "dedup_containment",
+    "events_validity",
+    "ann_matryoshka",
+    "ann_hard_negatives",
+    "text_kl_slices",
+    "conv_context_tail",
+    "conv_loss_mask",
+    "curation_quality_auc",
+    "ann_covariance",
 ]
 
 

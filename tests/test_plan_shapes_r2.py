@@ -1,0 +1,112 @@
+"""Plan-shape pins for the round-2 operator additions: the physical
+plans that make these ops scale must not silently regress (a lost
+broadcast hint or a surprise sort-merge join is invisible to value
+tests but 100x at corpus scale)."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _emb(spark, n=12, dim=4):
+    return spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 7) for j in range(dim)]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """Codebook assignment must be a pure projection — zero exchanges
+    (the codebook is a plan literal, not a join side)."""
+    from waka_spark.operators.ann import ivf_centroids, ivf_assign
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, n_cells=2)
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan
+
+
+def test_dsir_weight_join_is_broadcast(spark):
+    """The B-row weight table must broadcast back onto the exploded
+    features — a sort-merge join here would shuffle the token stream."""
+    from waka_spark.operators.curation import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}", i % 2 == 0) for i in range(10)],
+        "doc_id long, text string, t boolean")
+    plan = _plan(dsir_importance(docs, target=F.col("t"), n_buckets=16))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_slice_kl_joins_stay_on_aggregated_tables(spark):
+    """The token stream is aggregated to (slice, bucket) before any join;
+    no join may touch the exploded token rows."""
+    from waka_spark.operators.textstats import slice_kl_divergence
+
+    docs = spark.createDataFrame(
+        [(i, "x y z", "en" if i % 2 else "de") for i in range(8)],
+        "doc_id long, text string, lang string")
+    plan = _plan(slice_kl_divergence(docs, n_buckets=8))
+    # the (slice, bucket) aggregate is persisted, so every one of its four
+    # consumers reads the cache (InMemoryTableScan) instead of replaying
+    # the token explode, and the joins above it are all broadcast
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_covariance_single_shuffle(spark):
+    """Gram partials fold in ONE hash-agg exchange; the corpus itself is
+    never shuffled or pair-exploded."""
+    from waka_spark.operators.ann import covariance_matrix
+
+    plan = _plan(covariance_matrix(_emb(spark), dim=4))
+    # the folded partials table is persisted: all three consumers read the
+    # cache instead of replaying the GEMM scan, and no pairwise explode
+    # or corpus-wide join exists anywhere
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "posexplode" not in plan
+
+
+def test_context_tail_single_shuffle(spark):
+    from waka_spark.operators.transcripts import context_tail
+
+    t = spark.createDataFrame(
+        [("c", i, "user", "a b") for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string")
+    plan = _plan(context_tail(t))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_score_auc_window_runs_on_aggregated_scores(spark):
+    """The unpartitioned running-sum window must consume the per-score
+    aggregate, not corpus rows: the plan's single-partition exchange
+    feeds from a HashAggregate output."""
+    from waka_spark.operators.curation import score_auc
+
+    df = spark.createDataFrame(
+        [(i / 10.0, i % 2 == 0) for i in range(10)],
+        "score double, label boolean")
+    plan = _plan(score_auc(df))
+    assert "Exchange SinglePartition" in plan
+    # corpus rows reach the single-partition window only via the
+    # (score -> p, n) aggregate: the plan prints root-first, so BELOW the
+    # SinglePartition exchange there must still be a HashAggregate (the
+    # per-score rollup) between it and the scan
+    idx_sp = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[idx_sp:]
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    from waka_spark.operators.ann import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(9)],
+        "vec_id long, embedding array<double>, label int")
+    q = emb.filter("vec_id < 2").selectExpr(
+        "vec_id as q_id", "embedding as q_vec", "label as q_label")
+    plan = _plan(hard_negatives(emb, q, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

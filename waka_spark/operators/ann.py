@@ -475,8 +475,9 @@ def ivf_centroids(
     """IVF codebook as an array<array<double>> literal: the embeddings of
     the ``n_cells`` lowest ids. A deterministic data-derived coarse
     quantizer — no RNG/training loop to ship, and the DuckDB oracle
-    recomputes it bit-for-bit; production swaps in offline k-means
-    centroids through the exact same plan (the codebook is a broadcast
+    recomputes it bit-for-bit; production swaps in k-means centroids
+    trained by :func:`kmeans_fit` through the exact same plan (the
+    codebook is a broadcast
     literal either way — n_cells rows collected once at plan build, like
     ``_collected_planes``)."""
     rows = (
@@ -576,6 +577,149 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) — the trainer that produces
+    the IVF codebook ``ivf_topk`` consumes (its docstring points here).
+
+    Deterministic throughout, so the DuckDB oracle replays it exactly:
+    init = the embeddings of the ``k`` lowest ids; each iteration assigns
+    every vector to its argmax-cosine centroid (ties → lowest cell, the
+    ``ivf_assign`` rule) and recomputes centroids as the per-cell
+    elementwise mean, rounded to 1e-6 *before* the next assignment so both
+    engines quantize identically at every step. Empty cells keep their
+    previous centroid.
+
+    Scale shape: assignment is a NARROW projection against the k×dim
+    codebook literal (no shuffle, no UDF); the update is ONE hash-agg per
+    iteration producing k×dim cells (map-side partials — the shuffle
+    carries k rows per partition, not the corpus); the per-iteration
+    driver collect is the k×dim codebook (a few KB). Total cost =
+    n_iters corpus scans + n_iters tiny shuffles — the standard
+    million-×-speedup layout vs per-pair clustering, and the exact loop
+    FAISS/Spark-MLlib run for IVF training.
+
+    Output: one row per (cell, dim_idx) of the final codebook —
+    (cell int, dim_idx int, centroid_val double, n_vecs long), n_vecs =
+    the cell's population in the assignment that produced it.
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    init_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    codebook: list[list[float]] = [
+        [round(float(x), 6) for x in r[1]] for r in init_rows
+    ]
+    counts: list[int] = [0] * k
+
+    for _ in range(n_iters):
+        cents = F.array(*[
+            F.lit(c).cast("array<double>") for c in codebook
+        ])
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+        new_rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("_n"),
+                *[
+                    F.round(F.avg(F.element_at("embedding", i + 1)), 6)
+                    .alias(f"_c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        counts = [0] * k
+        for r in new_rows:
+            counts[r["cell"]] = r["_n"]
+            codebook[r["cell"]] = [r[f"_c{i}"] for i in range(dim)]
+
+    out = [
+        (cell, i, codebook[cell][i], counts[cell])
+        for cell in range(k)
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "cell int, dim_idx int, centroid_val double, n_vecs long"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine cell of a trained codebook
+    (the flattened ``kmeans_fit`` output). The codebook is collected into
+    a plan literal (k×dim, a few KB) and assignment stays narrow."""
+    rows = centroids.orderBy("cell", "dim_idx").collect()
+    by_cell: dict[int, list[float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
+    cents = F.array(*[
+        F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
+    ])
+    return ivf_assign(embeddings, cents, id_col, vec_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    find cosine-≥τ pairs *within each cluster only*, and mark the larger
+    id of every pair as a duplicate (keep-lowest-id — deterministic and
+    order-free, equivalent to keeping one representative per near-dup
+    chain within a cell).
+
+    The k-means cells are what bound the quadratic: cluster count grows
+    with the corpus (k ~ n/target_cell_size), so within-cell pair
+    generation stays O(n · cell_size) instead of O(n²) — the published
+    SemDeDup recipe for LAION/web-scale corpora, and the semantic
+    complement of the lexical MinHash pipeline in dedup.py.
+
+    Output: (vec_id, cell, is_dup) for every vector.
+    """
+    cents_df = kmeans_fit(embeddings, k, n_iters, id_col, vec_col)
+    assigned = kmeans_assign(embeddings, cents_df, id_col, vec_col)
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"),
+        "cell")
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
+        "cell")
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id", "cell",
+            F.coalesce("_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def random_projection(
     emb: DataFrame,
     in_dim: int,
@@ -617,3 +761,192 @@ def random_projection(
         coords.append(F.round(dot * scale, 6))
     return emb.select(F.col(id_col).alias("vec_id"),
                       F.array(*coords).alias("proj"))
+
+
+def truncate_vectors(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep the first ``dim`` coordinates of an embedding column —
+    matryoshka/MRL truncation (Kusupati et al. 2022). Pure narrow slice."""
+    return df.withColumn(vec_col, F.slice(F.col(vec_col), 1, dim))
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: list[int] = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Recall@k of truncated-dimension brute-force search vs the
+    full-dimension ranking, per truncation width — the curve a deployment
+    reads before storing matryoshka prefixes instead of full vectors
+    (e.g. "32 of 64 dims keeps 0.9 recall → halve the ANN footprint").
+
+    Scale shape: one :func:`cosine_topk` per dim (broadcast queries ×
+    corpus scan, no corpus shuffle) plus the full-dim baseline; results
+    join on (q_id, vec_id) and aggregate to one row per dim. The corpus
+    is scanned len(dims)+1 times — each scan cheaper in proportion to the
+    truncation, exactly the economics being measured.
+
+    Output: (dim, n_queries, avg_recall).
+    """
+    exact = cosine_topk(
+        embeddings, queries, k, id_col, vec_col, q_id_col, q_vec_col
+    ).select("q_id", "vec_id")
+    out = None
+    for d in dims:
+        approx = (
+            cosine_topk(
+                truncate_vectors(embeddings, d, vec_col),
+                truncate_vectors(queries, d, q_vec_col),
+                k, id_col, vec_col, q_id_col, q_vec_col,
+            )
+            .select("q_id", "vec_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        per_q = (
+            exact.join(approx, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg((F.count("_hit") / F.count("*")).alias("_recall"))
+        )
+        row = per_q.agg(
+            F.lit(d).cast("int").alias("dim"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.avg("_recall"), 6).alias("avg_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    q_label_col: str = "q_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-cosine-similar corpus vectors whose label DIFFERS from the
+    query's — the near-miss negatives that make embedding training
+    converge (easy random negatives carry no gradient signal at scale).
+
+    Same physical shape as :func:`cosine_topk` (broadcast queries × corpus
+    scan + per-query window); the label inequality is a pre-window filter,
+    so mislabeled near-duplicates never reach the ranking.
+
+    Output: (q_id, vec_id, neg_label, cos, rank).
+    """
+    joined = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(label_col).alias("neg_label"),
+    ).crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(q_id_col).alias("q_id"),
+                F.col(q_vec_col).alias("q_vec"),
+                F.col(q_label_col).alias("q_label"),
+            )
+        )
+    )
+    scored = (
+        joined
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("q_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "neg_label", "cos", "rank")
+    )
+
+
+def covariance_matrix(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space covariance matrix (upper triangle): cov(i,j) =
+    E[x_i·x_j] − E[x_i]·E[x_j] — the PCA / whitening / anisotropy-check
+    pre-pass (a collapsed embedding space shows a few dominant diagonal
+    cells; whitening needs exactly this matrix).
+
+    Scale shape: each Arrow batch contributes ONE dim×dim Gram partial
+    (``Xᵀ X`` in a single BLAS call via mapInPandas) plus a coordinate-sum
+    vector — so the shuffle carries O(batches · dim²) cells, independent
+    of corpus size, and the final hash-agg folds partials. The corpus is
+    scanned once and never pairwise-exploded (a posexplode² formulation
+    would shuffle dim² × corpus rows — 4096× the data at dim 64).
+
+    Output: (i, j, cov) for i ≤ j, rounded 1e-6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["_vec"].to_list(), dtype=np.float64)
+            gram = m.T @ m
+            yield pd.DataFrame({
+                "i": np.concatenate([iu[0], np.arange(dim)]),
+                "j": np.concatenate([iu[1], np.full(dim, -1)]),
+                "s": np.concatenate([gram[iu], m.sum(axis=0)]),
+                "cnt": np.concatenate(
+                    [np.zeros(len(iu[0]), dtype=np.int64),
+                     np.full(dim, len(m), dtype=np.int64)]),
+            })
+
+    # the folded (i, j, s) table feeds three consumers (gram cells, mean_i,
+    # mean_j) — persist it or each consumer replays the corpus GEMM scan;
+    # it is dim(dim+3)/2 rows regardless of corpus size
+    sums = (
+        embeddings.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            .alias("_vec"))
+        .mapInPandas(partials, "i int, j int, s double, cnt long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    # j = -1 rows are the per-coordinate sums (and carry the row count)
+    means = sums.filter(F.col("j") == -1).select(
+        F.col("i").alias("_mi"),
+        (F.col("s") / F.col("cnt")).alias("mean"),
+        F.col("cnt").alias("n"),
+    )
+    gram = sums.filter(F.col("j") >= 0)
+    mi = means.select(F.col("_mi").alias("i"), F.col("mean").alias("mean_i"),
+                      "n")
+    mj = means.select(F.col("_mi").alias("j"), F.col("mean").alias("mean_j"))
+    return (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j",
+            # + 0.0 folds IEEE negative zero (a near-zero covariance can
+            # round to -0.0 or +0.0 depending on summation order) into
+            # +0.0 on both engines
+            (F.round(
+                F.col("s") / F.col("n")
+                - F.col("mean_i") * F.col("mean_j"),
+                6,
+            ) + F.lit(0.0)).alias("cov"),
+        )
+    )

@@ -520,6 +520,81 @@ def hashed_linear_score(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its hashed-bigram distribution is, so a resampling
+    pass can upweight raw web data that looks like the curated target.
+
+    Features are word bigrams hashed to ``n_buckets`` via the hashing
+    trick (md5 — oracle-portable); the importance model is the
+    Laplace-smoothed log-likelihood ratio per bucket::
+
+        w[b] = ln((t_b + α) / (T + α·B)) − ln((r_b + α) / (R + α·B))
+
+    with t/r = bucket counts over target / ALL docs and T/R their totals.
+    A document's score is the mean w over its bigram occurrences — the
+    per-token-normalized form of DSIR's summed log ratio (length-invariant,
+    so long documents don't dominate selection).
+
+    Scale shape — the same three-piece layout as ``hashed_linear_score``:
+    one bigram explode (token-scale, the cost of any tokenize pass), one
+    hash-agg to the B-row weight table (map-side partials; B is fixed, so
+    the shuffle is O(partitions × B) regardless of corpus size), then a
+    BROADCAST join of that table back onto the exploded features and one
+    hash-agg keyed by doc_id. The corpus is never shuffled wide; the
+    "model" is a table, exactly how production DSIR runs at 100 TB.
+
+    ``target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``). Output: (doc_id, n_feats, score),
+    score rounded 1e-6; documents with no non-empty words are absent.
+    """
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("_is_target"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("feat"),
+    ).select(
+        "doc_id",
+        "_is_target",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int").alias("bucket"),
+    )
+
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("long").alias("t_cnt"),
+        F.count("*").cast("long").alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot"))
+    ab = F.lit(alpha * n_buckets)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + F.lit(alpha)) / (F.col("t_tot") + ab))
+            - F.log((F.col("r_cnt") + F.lit(alpha)) / (F.col("r_tot") + ab))
+        ).alias("weight"),
+    )
+
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.avg("weight"), 6).alias("score"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -598,3 +673,53 @@ def prepare_corpus(
         id_col, "left_semi",
     )
     return pack_sequences(train, id_col, text_col, budget, n_buckets)
+
+
+def score_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label, computed as
+    rank-sum over DISTINCT SCORE GROUPS — the calibration number a
+    curation pass reads before trusting a quality classifier's threshold
+    (AUC 0.5 = the score is noise; ties handled exactly via the standard
+    midrank convention).
+
+    AUC = Σ_s  p_s · (N⁻_below(s) + n_s/2)  /  (P · N)
+
+    over distinct score values s (p_s/n_s = positives/negatives at s,
+    N⁻_below = negatives with strictly lower score).
+
+    Scale shape: one hash-agg corpus → (distinct score, p, n) — the ONLY
+    pass over the data; the running sum then runs over the aggregated
+    score table, whose cardinality is bounded by score granularity (a
+    rounded score has thousands of distinct values regardless of corpus
+    size), so the unpartitioned window is over a small frame by
+    construction, never the corpus. Totals fold in the final single-row
+    agg — no driver collect.
+
+    Output: one row (n_pos, n_neg, auc).
+    """
+    by_score = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("long").alias("p"),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1))
+            .cast("long").alias("n"),
+        )
+    )
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "n_below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("p") * (F.col("n_below") + F.col("n") / 2.0))
+            / (F.sum("p") * F.sum("n")),
+            6,
+        ).alias("auc"),
+    )

@@ -553,3 +553,59 @@ def scrub_duplicate_spans(
             (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: containment(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric measure
+    that catches SUBSET duplication (a doc quoted wholesale inside a
+    longer one), which Jaccard suppresses because the union is dominated
+    by the longer doc (Broder 1997 distinguishes resemblance vs
+    containment for exactly this case).
+
+    Emits one row per unordered pair with BOTH directions' containment;
+    kept if either direction ≥ ``threshold``. Same scale shape as
+    :func:`ngram_jaccard_pairs`: the shingle equi-join IS the candidate
+    generation (zero-overlap pairs never materialize) and
+    ``max_shingle_freq`` is the same document-frequency skew guard.
+
+    Output: (doc_a, doc_b, n_common, cont_a, cont_b) with doc_a < doc_b;
+    cont_a = containment of A in B, cont_b = containment of B in A.
+    """
+    shingles = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        w_df = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("_df", F.count("*").over(w_df))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
+
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .withColumn("cont_a", F.round(F.col("n_common") / F.col("n_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_common") / F.col("n_b"), 6))
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
+        .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
+    )

@@ -404,3 +404,120 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         wedges.join(closing, ["x", "y"])
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec pre-pass that turns a graph into token sequences for
+    embedding training): one walk of ``length`` steps per node, where the
+    step-``s`` hop from the walk started at ``w`` is the out-neighbor
+    minimizing ``md5(w:s:neighbor)`` — hash-derived pseudo-randomness, so
+    walks are i.i.d.-ish across (walk, step) but bit-identical across
+    engines and partitionings (no RNG state to ship, the repo-wide
+    determinism rule).
+
+    Scale shape: the walk frontier is one (walk_id, cur) row per node;
+    each step is one equi-join frontier⋈edges on the current node
+    followed by one min-struct hash-agg keyed by walk_id (map-side
+    combinable; the argmin is ``min(struct(hash, dst))``, never a sort).
+    ``length`` steps = ``length`` shuffles over frontier-sized data — the
+    edge table is scanned per step but never re-shuffled once bucketed or
+    AQE-cached. Walks that reach a sink node (no out-edges) end early; on
+    symmetrized graphs every reached node has out-edges.
+
+    Output: (walk_id, step, node) — step 0 is the start node itself.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    frontier = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.col("node").alias("walk_id"), F.col("node").alias("cur"))
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    for s in range(1, length + 1):
+        hop = (
+            frontier.join(e, frontier["cur"] == e["src"])
+            .select(
+                "walk_id",
+                F.col("dst"),
+                F.md5(F.concat_ws(
+                    ":", F.col("walk_id"), F.lit(s), F.col("dst")
+                )).alias("_h"),
+            )
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(F.col("_h"), F.col("dst"))).alias("_m"))
+            .select("walk_id", F.col("_m.dst").alias("cur"))
+        )
+        frontier = hop
+        out = out.unionByName(frontier.select(
+            "walk_id", F.lit(s).alias("step"), F.col("cur").alias("node")))
+    return out
+
+
+def cooccurrence_pmi(
+    occurrences: DataFrame,
+    group_col: str = "conv_id",
+    item_col: str = "url",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Pointwise mutual information between items co-occurring in a group
+    (entities per conversation, terms per document): the classic
+    relatedness signal KG construction uses to propose candidate relations
+    and collocation mining uses to find multi-word terms.
+
+    pmi(a,b) = ln( n_ab · N / (n_a · n_b) ) over group-level presence
+    (multiplicity within a group ignored — standard document-level PMI),
+    N = number of groups.
+
+    Scale shape: presence = one distinct on (group, item); marginals = one
+    hash-agg on item; the pair join is per-group (item_a < item_b), so its
+    cost is Σ_g d_g² — bounded by the per-group distinct-item count, the
+    same within-group quadratic every co-occurrence matrix has (cap items
+    per group upstream for pathological groups). N is a single-row
+    aggregate joined by broadcast, never a driver collect.
+
+    Output: (item_a, item_b, n_ab, pmi), pairs with n_ab ≥ ``min_pairs``.
+    """
+    occ = (
+        occurrences.select(
+            F.col(group_col).alias("grp"), F.col(item_col).alias("item"))
+        .distinct()
+        .persist()
+    )
+    n_groups = occ.select("grp").distinct().agg(
+        F.count("*").alias("_n_groups"))
+    marg = occ.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
+
+    a = occ.select("grp", F.col("item").alias("item_a"))
+    b = occ.select("grp", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "grp")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs
+        .join(marg.withColumnsRenamed(
+            {"item": "item_a", "n_item": "n_a"}), "item_a")
+        .join(marg.withColumnsRenamed(
+            {"item": "item_b", "n_item": "n_b"}), "item_b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "item_a", "item_b", "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("_n_groups")
+                    / (F.col("n_a") * F.col("n_b"))
+                ), 6
+            ).alias("pmi"),
+        )
+    )

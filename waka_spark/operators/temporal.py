@@ -377,3 +377,48 @@ def range_join_binned(
             "n_in_window", F.coalesce("n_in_window", F.lit(0))
         )
     return out
+
+
+def validity_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SCD-2 state-history materialization: collapse an event stream into
+    per-key validity intervals — one row per *state change*, valid from
+    its first timestamp until the next change (open-ended for the current
+    state). The standard temporal-KG / slowly-changing-dimension shape:
+    "what was the entity's state at time t" becomes one BETWEEN predicate
+    against this table instead of a scan-and-sort of raw events.
+
+    Scale shape: two window functions (lag to detect changes, lead to
+    close intervals) over the SAME (key × ts) partitioning — Spark plans
+    one Exchange + one Sort for both, so the whole operator is a single
+    shuffle keyed by ``key_col``; no self-join, no agg. Ties on ts within
+    a key are broken by the state value for determinism.
+
+    Output: (key, state, valid_from, valid_to), valid_to NULL while
+    current.
+    """
+    changes = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .withColumn(
+            "_prev",
+            F.lag("state").over(
+                Window.partitionBy("key").orderBy(
+                    F.col("_ts").asc(), F.col("state").asc())),
+        )
+        .filter(F.col("_prev").isNull() | (F.col("state") != F.col("_prev")))
+    )
+    w_seg = Window.partitionBy("key").orderBy(
+        F.col("_ts").asc(), F.col("state").asc())
+    return changes.select(
+        "key", "state",
+        F.col("_ts").alias("valid_from"),
+        F.lead("_ts").over(w_seg).alias("valid_to"),
+    )

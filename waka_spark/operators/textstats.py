@@ -328,6 +328,80 @@ def fingerprints(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Full MOSS winnowing (Schleimer, Wilkerson & Aiken 2003): select the
+    rightmost-minimum k-gram hash in every sliding window of ``window``
+    consecutive k-grams — the guaranteed-coverage local fingerprint set
+    (any shared substring of ≥ window+kgram-1 words produces at least one
+    shared fingerprint), vs :func:`fingerprints` which keeps only the one
+    global minimum per document.
+
+    Implementation is selection-by-window-argmin, not a per-row scan: each
+    k-gram row fans out to the ≤``window`` window-starts that contain it
+    (a bounded explode, like the MinHash band fan-out), then ONE hash-agg
+    per (doc, window-start) takes ``min(struct(hash, -pos))`` — min-hash
+    with rightmost tie-break in a single map-side-combinable aggregate —
+    and a distinct collapses adjacent windows that picked the same k-gram.
+    No window-function sort, no self-join, no UDF; shuffle volume is
+    window× the k-gram count, with keys as fine as (doc, window-start) so
+    hot docs still spread. Documents shorter than one window emit their
+    single best k-gram (the standard short-input degeneracy).
+
+    Hashes are ``int(md5(kgram)[:8], 16)`` — oracle-portable. Output:
+    (doc_id, pos, fp_hash), one row per *selected* k-gram position.
+    """
+    words = _words(F.col(text_col))
+    n_kg = F.size(words) - (kgram - 1)
+    kgrams = F.when(
+        F.size(words) >= kgram,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - kgram),
+            lambda i: F.array_join(F.slice(words, i + 1, kgram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tagged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            n_kg.alias("_n_kg"),
+            F.posexplode(kgrams).alias("pos", "_kg"),
+        )
+        .select(
+            "doc_id", "_n_kg", "pos",
+            F.conv(F.substring(F.md5("_kg"), 1, 8), 16, 10)
+            .cast("long").alias("fp_hash"),
+        )
+    )
+
+    # window-starts containing pos: [max(pos-window+1, 0), min(pos, last)]
+    # where last = max(n_kg - window, 0); when n_kg < window there is a
+    # single window 0 covering everything
+    last = F.greatest(F.col("_n_kg") - window, F.lit(0))
+    starts = F.sequence(
+        F.greatest(F.col("pos") - (window - 1), F.lit(0)),
+        F.least(F.col("pos"), last),
+    )
+    return (
+        tagged.select(
+            "doc_id", "pos", "fp_hash", F.explode(starts).alias("_w"))
+        .groupBy("doc_id", "_w")
+        .agg(F.min(F.struct(
+            F.col("fp_hash"), (-F.col("pos")).alias("_negpos"))).alias("_m"))
+        .select(
+            "doc_id",
+            (-F.col("_m._negpos")).cast("int").alias("pos"),
+            F.col("_m.fp_hash").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -372,4 +446,84 @@ def bpe_pair_counts(
         )
         .orderBy(F.col("n_total").desc(), F.col("pair").asc())
         .limit(k)
+    )
+
+
+def slice_kl_divergence(
+    df: DataFrame,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(P_slice ‖ P_corpus) over
+    hashed-unigram buckets — the monitoring number that flags a source /
+    language / time-window whose token distribution departs from the
+    blend (new crawl gone wrong, a source flipping language, template
+    spam). Complements curation.dsir_importance: DSIR *scores documents*
+    against a target; this scores *slices* against the corpus.
+
+    Both distributions are Laplace-smoothed over the same ``n_buckets``
+    support, so KL is finite even for buckets a slice never emits::
+
+        P_s(b) = (c_sb + α) / (n_s + α·B);  Q(b) = (c_b + α) / (n + α·B)
+        KL(s)  = Σ_b P_s(b) · ln(P_s(b) / Q(b))
+
+    Scale shape: ONE token explode → one hash-agg keyed by (slice,
+    bucket) — map-side combinable, key cardinality = slices × B regardless
+    of corpus size; corpus-level bucket counts derive from a second agg of
+    that small table (not a rescan); totals broadcast. The Σ_b fold runs
+    over the (slice × B) table — driver never collects.
+
+    Output: (slice, n_tokens, kl), kl rounded 1e-6.
+    """
+    toks = df.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    # sb is the ONLY product of the token scan and feeds four consumers
+    # (corpus marginals, totals, slice totals, the dense left join) —
+    # persist it or each consumer replays the corpus explode; it is a
+    # slices × B table, kilobytes at any corpus size
+    sb = toks.select(
+        "slice",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int").alias("bucket"),
+    ).groupBy("slice", "bucket").agg(
+        F.count("*").cast("long").alias("c_sb")).persist()
+
+    corpus = sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    n_total = corpus.agg(F.sum("c_b").alias("n_corpus"))
+
+    ab = F.lit(alpha * n_buckets)
+    # the Σ_b fold must run over ALL n_buckets cells, not just observed
+    # ones: the smoothed P and Q are positive on the full support, and a
+    # truncated sum is not a KL (it can go negative). slices × range(B)
+    # is the dense frame; both count columns coalesce to 0. Every join
+    # side here is an aggregated kilobyte-scale table — broadcast them
+    # so no sort-merge exchange appears anywhere above the token scan.
+    slices = sb.groupBy("slice").agg(F.sum("c_sb").alias("n_slice"))
+    buckets = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    dense = (
+        slices.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(corpus), "bucket", "left")
+        .withColumn("c_b", F.coalesce("c_b", F.lit(0)))
+        .join(F.broadcast(sb), ["slice", "bucket"], "left")
+        .withColumn("c_sb", F.coalesce("c_sb", F.lit(0)))
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = (F.col("c_sb") + F.lit(alpha)) / (F.col("n_slice") + ab)
+    q = (F.col("c_b") + F.lit(alpha)) / (F.col("n_corpus") + ab)
+    return (
+        dense.select(
+            "slice", "n_slice", (p * F.log(p / q)).alias("_term"))
+        .groupBy("slice")
+        .agg(
+            F.first("n_slice").cast("long").alias("n_tokens"),
+            F.round(F.sum("_term"), 6).alias("kl"),
+        )
     )
