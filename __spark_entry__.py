@@ -2028,6 +2028,84 @@ def q_ann_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    SimHash similarity graph (operators/graph.py modularity): the
+    structure-vs-noise number for the community assignment."""
+    from waka_spark.operators.graph import label_propagation, modularity
+
+    edges = _simhash_graph(spark, sf_dir)
+    labels = label_propagation(edges, n_iter=5)
+    return modularity(edges, labels)
+
+
+def q_text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al. 'Fightin' Words' log-odds z-scores
+    (operators/textstats.py keyness_terms): top-5 slice-distinctive words
+    per language — names the vocabulary behind a KL drift spike."""
+    from waka_spark.operators.textstats import keyness_terms
+
+    return keyness_terms(_t(spark, sf_dir, "documents"), slice_col="lang", k=5)
+
+
+def q_curation_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-group sample (operators/curation.py
+    sample_k_per_group): 20 uniform docs per language via an md5-ranked
+    window — the audit/eval-set contract rate-based sampling can't give."""
+    from waka_spark.operators.curation import sample_k_per_group
+
+    return sample_k_per_group(
+        _t(spark, sf_dir, "documents"), group_col="lang", k=20)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-filter-agg
+    with every predicate pushed into the parquet scan — the baseline
+    pushdown sanity query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("double")
+                    * F.col("l_discount").cast("double")
+                ), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/ann.py pq_encode): 4 subspaces ×
+    8-cell k-means codebooks → 4-byte codes for 64-dim vectors (64×
+    compression) + reconstruction MSE."""
+    from waka_spark.operators.ann import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, m=4, k=8, n_iters=2)
+    return out.select(
+        "vec_id",
+        *[F.col("code")[s].alias(f"code_{s}") for s in range(4)],
+        "recon_mse",
+    )
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier screen (operators/temporal.py mad_outliers):
+    per-type median/MAD broadcast back — the heavy-tail-safe complement
+    of events_zscore."""
+    from waka_spark.operators.temporal import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), threshold=3.0)
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MOSS winnowing (operators/textstats.py winnowing_fingerprints,
     3-word k-grams, window 4): rightmost-min hash per sliding window via a
@@ -2170,6 +2248,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_loss_mask": q_conv_loss_mask,
         "curation_quality_auc": q_curation_quality_auc,
         "ann_covariance": q_ann_covariance,
+        "graph_modularity": q_graph_modularity,
+        "text_keyness": q_text_keyness,
+        "curation_sample_k": q_curation_sample_k,
+        "tpch_q6": q_tpch_q6,
+        "ann_pq": q_ann_pq,
+        "events_anomaly_mad": q_events_anomaly_mad,
     }
 
 
@@ -2306,6 +2390,74 @@ g_deg AS (SELECT src, count(*) AS outdeg FROM g_edges GROUP BY src),
 g_nodes AS (SELECT DISTINCT src AS node FROM g_edges),
 g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)
 """
+
+
+def _pq_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
+    """Product quantization as chained CTEs: one independent two-iteration
+    k-means chain per subspace (the per-subspace replay of _KMEANS_CTE)
+    plus reconstruction error vs the assigned centroid — the SQL mirror of
+    operators/ann.pq_encode."""
+    sub = dim // m
+    ctes = ["""emb0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        p = f"p{s}"
+
+        def assign(name: str, cb: str) -> str:
+            return f"""{name} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cent), 6) DESC,
+                      c.cell ASC
+           ) AS rn
+    FROM {p}e e CROSS JOIN {cb} c
+  ) WHERE rn = 1
+)"""
+
+        def update(name: str, a: str, prev: str) -> str:
+            return f"""{name}u AS (
+  SELECT cell, i, round(avg(v[i]), 6) AS cv
+  FROM {a} CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS i) idx
+  GROUP BY cell, i
+), {name} AS (
+  SELECT {prev}.cell, coalesce(u.cent, {prev}.cent) AS cent
+  FROM {prev} LEFT JOIN (
+    SELECT cell, list(cv ORDER BY i) AS cent FROM {name}u GROUP BY cell
+  ) u ON {prev}.cell = u.cell
+)"""
+
+        ctes.append(f"""{p}e AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM emb0
+), {p}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> round(x, 6)) AS cent
+  FROM {p}e ORDER BY vec_id LIMIT {k}
+)""")
+        ctes.append(assign(f"{p}a1", f"{p}c0"))
+        ctes.append(update(f"{p}c1", f"{p}a1", f"{p}c0"))
+        ctes.append(assign(f"{p}a2", f"{p}c1"))
+        ctes.append(update(f"{p}c2", f"{p}a2", f"{p}c1"))
+        ctes.append(assign(f"{p}a3", f"{p}c2"))
+        ctes.append(f"""{p}f AS (
+  SELECT a.vec_id, a.cell,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (a.v[i] - c.cent[i]) * (a.v[i] - c.cent[i]))) AS err
+  FROM {p}a3 a JOIN {p}c2 c ON a.cell = c.cell
+)""")
+    code_cols = ", ".join(f"p{s}f.cell AS code_{s}" for s in range(m))
+    err_sum = " + ".join(f"p{s}f.err" for s in range(m))
+    joins = " ".join(f"JOIN p{s}f USING (vec_id)" for s in range(1, m))
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT vec_id, {code_cols}, "
+        f"round(({err_sum}) / {dim}.0, 6) AS recon_mse "
+        f"FROM p0f {joins}"
+    )
 
 
 def _matryoshka_sql(dims=(8, 16, 32), k: int = 5) -> str:
@@ -2454,6 +2606,48 @@ def _label_prop_sql(n_iter: int = 5) -> str:
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, community FROM l{n_iter}"
+    )
+
+
+def _modularity_sql(n_iter: int = 5) -> str:
+    """Label-prop communities + Newman modularity as chained CTEs — the
+    SQL mirror of operators/graph.py:modularity over label_propagation."""
+    ctes = ["l0 AS (SELECT node, node AS community FROM g_nodes)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""l{i} AS (
+  SELECT node, community FROM (
+    SELECT e.dst AS node, l.community,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.community ASC) AS rn
+    FROM g_edges e JOIN l{i - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.community
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""tagged AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM g_edges e
+  JOIN l{n_iter} la ON e.src = la.node
+  JOIN l{n_iter} lb ON e.dst = lb.node
+)""")
+    ctes.append("""deg AS (
+  SELECT ca, CAST(count(*) AS DOUBLE) AS d_c FROM tagged GROUP BY ca
+), win AS (
+  SELECT ca, CAST(count(*) AS DOUBLE) AS w_c FROM tagged
+  WHERE ca = cb GROUP BY ca
+), mm AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m_dir,
+         CAST(count(DISTINCT ca) AS BIGINT) AS n_comm
+  FROM tagged
+)""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        "SELECT mm.n_comm AS n_communities, "
+        "CAST(mm.m_dir / 2 AS BIGINT) AS m_edges, "
+        "round(sum(coalesce(w.w_c, 0) / mm.m_dir "
+        "          - (d.d_c / mm.m_dir) * (d.d_c / mm.m_dir)), 6) "
+        "  AS modularity "
+        "FROM deg d LEFT JOIN win w ON d.ca = w.ca, mm "
+        "GROUP BY mm.n_comm, mm.m_dir"
     )
 
 
@@ -4952,6 +5146,98 @@ def oracle_sql() -> dict[str, str]:
                          - (sum(v[c.i]) / count(*))
                            * (sum(v[c.j]) / count(*)), 6) + 0.0 AS cov
             FROM emb, cells c GROUP BY c.i, c.j
+        """,
+        "graph_modularity": _modularity_sql(n_iter=5),
+        "text_keyness": """
+            WITH toks AS (
+              SELECT lang AS slice,
+                     unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')) AS word
+              FROM documents
+            ),
+            sw AS (
+              SELECT slice, word, CAST(count(*) AS BIGINT) AS y_sw
+              FROM toks WHERE word <> '' GROUP BY 1, 2
+            ),
+            en AS (
+              SELECT slice, word, y_sw,
+                     sum(y_sw) OVER (PARTITION BY word) AS c_w,
+                     sum(y_sw) OVER (PARTITION BY slice) AS n_s
+              FROM sw
+            ),
+            tot AS (
+              SELECT sum(y_sw) AS n_total,
+                     CAST(count(DISTINCT word) AS BIGINT) AS v
+              FROM sw
+            ),
+            scored AS (
+              SELECT slice, word, y_sw,
+                     round(
+                       (ln((y_sw + 1.0) / (n_s + v - y_sw - 1.0))
+                        - ln(((c_w - y_sw) + 1.0)
+                             / ((n_total - n_s) + v - (c_w - y_sw) - 1.0)))
+                       / sqrt(1.0 / (y_sw + 1) + 1.0 / ((c_w - y_sw) + 1)),
+                       6) AS z
+              FROM en, tot
+            )
+            SELECT slice, word, y_sw, z, rank FROM (
+              SELECT slice, word, y_sw, z,
+                     CAST(row_number() OVER (
+                       PARTITION BY slice ORDER BY z DESC, word ASC
+                     ) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "curation_sample_k": """
+            SELECT doc_id, text, lang, source, n_chars, sample_rank FROM (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('kpg:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                     ) AS INT) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 20
+        """,
+        "tpch_q6": """
+            SELECT round(sum(CAST(l_extendedprice AS DOUBLE)
+                             * CAST(l_discount AS DOUBLE)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "ann_pq": _pq_sql(m=4, k=8, dim=64),
+        "events_anomaly_mad": """
+            WITH med AS (
+              SELECT event_type AS key,
+                     quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+              FROM events GROUP BY 1
+            ),
+            d AS (
+              SELECT e.event_id AS id, e.event_type AS key,
+                     CAST(e.value AS DOUBLE) AS value, m.med
+              FROM events e JOIN med m ON e.event_type = m.key
+            ),
+            mad AS (
+              SELECT key, quantile_cont(abs(value - med), 0.5) AS mad
+              FROM d GROUP BY key
+            ),
+            s AS (
+              SELECT d.id, d.key, d.value, d.med, ma.mad,
+                     CASE WHEN ma.mad > 0
+                          THEN round(abs(d.value - d.med) / ma.mad, 6)
+                     END AS dev_ratio
+              FROM d JOIN mad ma ON d.key = ma.key
+            )
+            SELECT id, key, value, round(med, 6) AS med,
+                   round(mad, 6) AS mad, dev_ratio
+            FROM s
+            WHERE dev_ratio > 3.0
+               OR (dev_ratio IS NULL AND abs(value - med) > 0)
         """,
     }
 

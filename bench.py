@@ -111,6 +111,12 @@ EXTRAS = [
     "conv_loss_mask",
     "curation_quality_auc",
     "ann_covariance",
+    "graph_modularity",
+    "text_keyness",
+    "curation_sample_k",
+    "tpch_q6",
+    "ann_pq",
+    "events_anomaly_mad",
 ]
 
 

@@ -950,3 +950,74 @@ def covariance_matrix(
             ) + F.lit(0.0)).alias("cov"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subspaces, train an independent :func:`kmeans_fit` codebook per
+    subspace, and encode every vector as its m cell ids — the compression
+    that stores a 10^9-vector corpus as m bytes/vector (here 4 bytes for
+    a 64-dim float vector, 64×) while asymmetric-distance search stays
+    possible against the m×k codebooks.
+
+    Scale shape: per subspace, the k-means loop (narrow assignment +
+    k×subdim hash-agg per iteration) then one narrow assignment pass —
+    m×(n_iters+1) corpus scans total, each touching 1/m of the columns;
+    the final code table is assembled by m equi-joins on vec_id, all
+    AQE-coalesced over the same key. Reconstruction error is computed
+    in-row against the (tiny, broadcast-literal) codebooks.
+
+    Output: (vec_id, code array<int> length m, recon_mse) where recon_mse
+    is the mean squared per-dimension reconstruction error, rounded 1e-6.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+
+    out = None
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * sub + 1, sub,
+            ).alias("embedding"),
+        )
+        cents_df = kmeans_fit(sliced, k=k, n_iters=n_iters)
+        rows = cents_df.orderBy("cell", "dim_idx").collect()
+        by_cell: dict[int, list[float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
+        cent_lit = F.array(*[
+            F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
+        ])
+        assigned = ivf_assign(sliced, cent_lit)
+        err = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        part = assigned.select(
+            "vec_id",
+            F.col("cell").alias(f"_c{s}"),
+            err.alias(f"_e{s}"),
+        )
+        out = part if out is None else out.join(part, "vec_id")
+
+    total_err = sum((F.col(f"_e{s}") for s in range(1, m)), F.col("_e0"))
+    return out.select(
+        "vec_id",
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("code"),
+        F.round(total_err / dim, 6).alias("recon_mse"),
+    )

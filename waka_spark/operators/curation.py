@@ -569,11 +569,15 @@ def dsir_importance(
         ).cast("int").alias("bucket"),
     )
 
+    # DSIR is inherently two-pass (fit the weight table, then score), so
+    # the bigram explode runs twice — but the B-row counts table must be
+    # persisted or the weight lineage (weights ⋅ totals) replays the
+    # corpus explode a third and fourth time
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
         .cast("long").alias("t_cnt"),
         F.count("*").cast("long").alias("r_cnt"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot"))
     ab = F.lit(alpha * n_buckets)
@@ -722,4 +726,31 @@ def score_auc(
             / (F.sum("p") * F.sum("n")),
             6,
         ).alias("auc"),
+    )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample per group (e.g. "inspect 50
+    random docs per source"): rank rows inside each group by
+    ``md5('kpg:' || id)`` — a uniform, engine-portable permutation — and
+    keep rank ≤ k. The fixed-count contract :func:`stratified_sample`'s
+    rate-based contract can't give (a rare stratum under a rate yields a
+    random COUNT; audits and eval sets need exactly k).
+
+    One window shuffle keyed by the group column; the hash salt is
+    distinct from the split/sample salts so membership never correlates
+    with train/test assignment. Output: input columns + ``sample_rank``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit("kpg:"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
     )

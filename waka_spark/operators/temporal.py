@@ -422,3 +422,56 @@ def validity_intervals(
         F.col("_ts").alias("valid_from"),
         F.lead("_ts").over(w_seg).alias("valid_to"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier screen via Median Absolute Deviation:
+    flag rows with |x − median| > threshold·MAD. The production
+    data-quality screen when the metric is heavy-tailed — unlike the
+    z-score screen (events_zscore), a handful of extreme rows cannot
+    drag the center/scale and mask themselves (median and MAD have 50%
+    breakdown; mean/stddev have 0%).
+
+    Two exact-median passes (Spark ``median`` == DuckDB
+    ``quantile_cont(0.5)``, both linearly interpolated), each one
+    hash-agg keyed by ``key_col`` with the tiny per-key result broadcast
+    back — the event stream itself never shuffles. Keys where MAD = 0
+    (over half the values identical) flag any deviation at all, the
+    standard MAD degeneracy; those rows emit dev_ratio NULL and are kept
+    for audit.
+
+    Output: flagged rows (id, key, value, med, mad, dev_ratio).
+    """
+    v = F.col(value_col).cast("double")
+    med = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.median(v).alias("med"))
+    devs = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        v.alias("value"),
+    ).join(F.broadcast(med), "key")
+    mad = devs.groupBy("key").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    scored = devs.join(F.broadcast(mad), "key").withColumn(
+        "dev_ratio",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6),
+        ),
+    )
+    return scored.filter(
+        (F.col("dev_ratio") > threshold)
+        | (F.col("dev_ratio").isNull()
+           & (F.abs(F.col("value") - F.col("med")) > 0))
+    ).select(
+        "id", "key", "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "dev_ratio",
+    )

@@ -527,3 +527,75 @@ def slice_kl_divergence(
             F.round(F.sum("_term"), 6).alias("kl"),
         )
     )
+
+
+def keyness_terms(
+    df: DataFrame,
+    slice_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per corpus slice via Monroe et al. 2008
+    ("Fightin' Words") informative-Dirichlet log-odds z-scores — the
+    drift diagnostic that NAMES the words behind a KL spike
+    (:func:`slice_kl_divergence` gives the magnitude; this gives the
+    evidence), and the standard slice-vs-rest keyword surface for corpus
+    audits.
+
+        δ_w(s) = ln[(y_sw+1)/(n_s+V−y_sw−1)] − ln[(y_rw+1)/(n_r+V−y_rw−1)]
+        z_w(s) = δ_w / sqrt(1/(y_sw+1) + 1/(y_rw+1))
+
+    with r = the rest of the corpus and V = vocabulary size (α_w = 1,
+    α0 = V).
+
+    Scale shape: ONE token explode → one hash-agg keyed by (slice, word);
+    corpus word totals come from a window over the SAME word-partitioned
+    table (reusing its exchange, not rescanning the corpus); slice totals
+    from a window over the slice partition of that vocab-scale table; V
+    and the corpus total are one single-row agg broadcast in. The final
+    top-k window is per-slice over vocab-scale rows. The corpus is
+    scanned exactly once.
+
+    Output: (slice, word, y_sw, z, rank) — top-k positive-z (slice-
+    distinctive) words per slice.
+    """
+    from pyspark.sql import Window
+
+    sw = (
+        df.select(
+            F.col(slice_col).alias("slice"),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("slice", "word")
+        .agg(F.count("*").cast("long").alias("y_sw"))
+    )
+    w_word = Window.partitionBy("word")
+    w_slice = Window.partitionBy("slice")
+    enriched = (
+        sw.withColumn("c_w", F.sum("y_sw").over(w_word))
+        .withColumn("n_s", F.sum("y_sw").over(w_slice))
+    )
+    totals = sw.agg(
+        F.sum("y_sw").alias("n_total"),
+        F.countDistinct("word").cast("long").alias("v"),
+    )
+    t = enriched.crossJoin(F.broadcast(totals))
+    y_rw = F.col("c_w") - F.col("y_sw")
+    n_r = F.col("n_total") - F.col("n_s")
+    delta = (
+        F.log((F.col("y_sw") + 1) / (F.col("n_s") + F.col("v") - F.col("y_sw") - 1))
+        - F.log((y_rw + 1) / (n_r + F.col("v") - y_rw - 1))
+    )
+    z = delta / F.sqrt(1.0 / (F.col("y_sw") + 1) + 1.0 / (y_rw + 1))
+    scored = t.select(
+        "slice", "word", "y_sw", F.round(z, 6).alias("z"))
+    w_top = Window.partitionBy("slice").orderBy(
+        F.col("z").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("slice", "word", "y_sw", "z",
+                F.col("rank").cast("int").alias("rank"))
+    )
