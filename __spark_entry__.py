@@ -2106,6 +2106,107 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(_t(spark, sf_dir, "events"), threshold=3.0)
 
 
+def q_text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word-frequency estimation (operators/diagnostics
+    cms_top_words, 4×64 grid): fixed-size mergeable counters vs exact
+    counts for the top-20 words — frequency estimation with no
+    vocabulary-sized shuffle."""
+    from waka_spark.operators.diagnostics import cms_top_words
+
+    return cms_top_words(_t(spark, sf_dir, "documents"), d=4, w=64, k=20)
+
+
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py delta_dedup): new
+    batch (doc_id % 10 == 0) probed against the standing corpus via two
+    LEFT SEMI joins (exact hash set + MinHash band set) — delta-sized
+    cost, no delta × base pairs."""
+    from waka_spark.operators.dedup import delta_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return delta_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue top-20): two broadcast dims
+    + the orders⋈lineitem fact join, one agg, TakeOrdered top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("double")
+        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name", "revenue",
+        )
+    )
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators/ann.py pq_adc_topk):
+    m-byte codes + codebook-literal lookups prune to 20 candidates per
+    query, exact squared-L2 reranks only those — the FAISS IndexPQ+refine
+    serving shape."""
+    from waka_spark.operators.ann import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return pq_adc_topk(
+        emb, queries, m=4, k=8, n_iters=2, n_candidates=20, topk=5)
+
+
+def q_curation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest contract validation (operators/curation.py
+    quality_expectations): five row-level rules evaluated in ONE corpus
+    scan — the staging→curated promotion gate. The short-text rule is
+    deliberately violated by real rows so the rate surface is exercised."""
+    from waka_spark.operators.curation import quality_expectations
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_expectations(d, [
+        ("doc_id_not_null", F.col("doc_id").isNotNull()),
+        ("text_nonempty", F.length(F.trim(F.col("text"))) > 0),
+        ("lang_known", F.col("lang").isin("en", "de", "es", "fr", "zh")),
+        ("n_chars_consistent", F.col("n_chars") == F.length(F.col("text"))),
+        ("text_at_least_200_chars", F.col("n_chars") >= 200),
+    ])
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward fill (operators/temporal.py
+    resample_ffill): irregular events → a dense per-user day grid carrying
+    the latest observed value — the gap-filling pass feature pipelines
+    consume."""
+    from waka_spark.operators.temporal import resample_ffill
+
+    out = resample_ffill(_t(spark, sf_dir, "events"))
+    # dates travel as strings through the oracle compare (pandas folds
+    # DATE into datetime64, which stringifies with a time part)
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MOSS winnowing (operators/textstats.py winnowing_fingerprints,
     3-word k-grams, window 4): rightmost-min hash per sliding window via a
@@ -2254,6 +2355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "ann_pq": q_ann_pq,
         "events_anomaly_mad": q_events_anomaly_mad,
+        "text_cms_counts": q_text_cms_counts,
+        "dedup_delta": q_dedup_delta,
+        "tpch_q10": q_tpch_q10,
+        "curation_expectations": q_curation_expectations,
+        "events_resample": q_events_resample,
+        "ann_pq_adc": q_ann_pq_adc,
     }
 
 
@@ -2392,11 +2499,10 @@ g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)
 """
 
 
-def _pq_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
-    """Product quantization as chained CTEs: one independent two-iteration
-    k-means chain per subspace (the per-subspace replay of _KMEANS_CTE)
-    plus reconstruction error vs the assigned centroid — the SQL mirror of
-    operators/ann.pq_encode."""
+def _pq_chains(m: int = 4, k: int = 8, dim: int = 64) -> list:
+    """Per-subspace two-iteration k-means chains (emb0 slice → init →
+    assign/update ×2 → final assignment p{s}a3 vs codebook p{s}c2) —
+    shared by the ann_pq and ann_pq_adc oracles."""
     sub = dim // m
     ctes = ["""emb0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2443,11 +2549,21 @@ def _pq_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
         ctes.append(assign(f"{p}a2", f"{p}c1"))
         ctes.append(update(f"{p}c2", f"{p}a2", f"{p}c1"))
         ctes.append(assign(f"{p}a3", f"{p}c2"))
-        ctes.append(f"""{p}f AS (
+    return ctes
+
+
+def _pq_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
+    """Product quantization as chained CTEs: the per-subspace chains plus
+    reconstruction error vs the assigned centroid — the SQL mirror of
+    operators/ann.pq_encode."""
+    sub = dim // m
+    ctes = _pq_chains(m, k, dim)
+    for s in range(m):
+        ctes.append(f"""p{s}f AS (
   SELECT a.vec_id, a.cell,
          list_sum(list_transform(range(1, {sub + 1}),
            i -> (a.v[i] - c.cent[i]) * (a.v[i] - c.cent[i]))) AS err
-  FROM {p}a3 a JOIN {p}c2 c ON a.cell = c.cell
+  FROM p{s}a3 a JOIN p{s}c2 c ON a.cell = c.cell
 )""")
     code_cols = ", ".join(f"p{s}f.cell AS code_{s}" for s in range(m))
     err_sum = " + ".join(f"p{s}f.err" for s in range(m))
@@ -2457,6 +2573,64 @@ def _pq_sql(m: int = 4, k: int = 8, dim: int = 64) -> str:
         f"SELECT vec_id, {code_cols}, "
         f"round(({err_sum}) / {dim}.0, 6) AS recon_mse "
         f"FROM p0f {joins}"
+    )
+
+
+def _pq_adc_sql(
+    m: int = 4, k: int = 8, dim: int = 64,
+    n_candidates: int = 20, topk: int = 5,
+) -> str:
+    """PQ asymmetric-distance search as chained CTEs — the SQL mirror of
+    operators/ann.pq_adc_topk (ADC prune → exact rerank)."""
+    sub = dim // m
+    ctes = _pq_chains(m, k, dim)
+    code_cols = ", ".join(f"p{s}a3.cell AS c_{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN p{s}a3 USING (vec_id)" for s in range(1, m))
+    ctes.append(f"""codes AS (
+  SELECT vec_id, {code_cols} FROM p0a3 {code_joins}
+)""")
+    ctes.append("""qs AS (
+  SELECT vec_id AS q_id, v AS q_vec FROM emb0 WHERE vec_id < 3
+)""")
+    cb_joins = " ".join(
+        f"JOIN p{s}c2 cb{s} ON cb{s}.cell = c.c_{s}" for s in range(m))
+    adc_terms = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> (q.q_vec[{s * sub} + i] - cb{s}.cent[i])"
+        f" * (q.q_vec[{s * sub} + i] - cb{s}.cent[i])))"
+        for s in range(m)
+    )
+    ctes.append(f"""adc AS (
+  SELECT q.q_id, c.vec_id, round({adc_terms}, 6) AS _adc
+  FROM codes c CROSS JOIN qs q
+  {cb_joins}
+  WHERE q.q_id <> c.vec_id
+)""")
+    ctes.append(f"""cand AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY _adc ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {n_candidates}
+)""")
+    ctes.append(f"""exact AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_sum(list_transform(range(1, {dim + 1}),
+           i -> (e.v[i] - q.q_vec[i]) * (e.v[i] - q.q_vec[i]))), 6) AS dist
+  FROM cand c
+  JOIN emb0 e ON e.vec_id = c.vec_id
+  JOIN qs q ON q.q_id = c.q_id
+)""")
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT q_id, vec_id, dist, rank FROM ("
+        "  SELECT q_id, vec_id, dist,"
+        "         CAST(row_number() OVER ("
+        "           PARTITION BY q_id ORDER BY dist ASC, vec_id ASC"
+        f"         ) AS INT) AS rank FROM exact"
+        f") WHERE rank <= {topk}"
     )
 
 
@@ -5211,6 +5385,8 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "ann_pq": _pq_sql(m=4, k=8, dim=64),
+        "ann_pq_adc": _pq_adc_sql(m=4, k=8, dim=64,
+                                  n_candidates=20, topk=5),
         "events_anomaly_mad": """
             WITH med AS (
               SELECT event_type AS key,
@@ -5238,6 +5414,183 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE dev_ratio > 3.0
                OR (dev_ratio IS NULL AND abs(value - med) > 0)
+        """,
+        "text_cms_counts": """
+            WITH t AS (
+              SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                ' ')) AS word
+              FROM documents
+            ),
+            tw AS (SELECT word FROM t WHERE word <> ''),
+            g AS (SELECT unnest(generate_series(0, 3)) AS j),
+            sketch AS (
+              SELECT g.j,
+                     CAST(CAST(('0x' || substr(
+                       md5(CAST(g.j AS VARCHAR) || ':' || tw.word), 1, 8))
+                       AS BIGINT) % 64 AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cell
+              FROM tw, g GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+              FROM tw GROUP BY 1
+            ),
+            top AS (
+              SELECT word, exact_count FROM exact
+              ORDER BY exact_count DESC, word ASC LIMIT 20
+            ),
+            probes AS (
+              SELECT top.word, top.exact_count, g.j,
+                     CAST(CAST(('0x' || substr(
+                       md5(CAST(g.j AS VARCHAR) || ':' || top.word), 1, 8))
+                       AS BIGINT) % 64 AS INT) AS bucket
+              FROM top, g
+            )
+            SELECT p.word, p.exact_count, min(s.cell) AS cms_estimate
+            FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+            GROUP BY 1, 2
+        """,
+        "dedup_delta": """
+            WITH basep AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+            deltap AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+            bh AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g')) AS h
+              FROM basep
+            ),
+            dh AS (
+              SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g')) AS h
+              FROM deltap
+            ),
+            wb AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                '\\s+', ' ', 'g'), ' ') AS ws FROM basep
+            ),
+            sb AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ')
+                AS shingle
+              FROM wb, (SELECT unnest(generate_series(1, 2000)) AS i) gi
+              WHERE i <= greatest(len(ws) - 2, 1)
+                AND array_to_string(ws[i:i+2], ' ') <> ''
+            ),
+            wd AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                '\\s+', ' ', 'g'), ' ') AS ws FROM deltap
+            ),
+            sd AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ')
+                AS shingle
+              FROM wd, (SELECT unnest(generate_series(1, 2000)) AS i) gi
+              WHERE i <= greatest(len(ws) - 2, 1)
+                AND array_to_string(ws[i:i+2], ' ') <> ''
+            ),
+            sig_b AS (
+              SELECT DISTINCT band,
+                     min(substr(md5(shingle) || md5('#' || shingle),
+                                band * 8 + 1, 8)) OVER w AS sig
+              FROM sb, (SELECT unnest(generate_series(0, 7)) AS band) bb
+              WINDOW w AS (PARTITION BY doc_id, band)
+            ),
+            sig_d AS (
+              SELECT doc_id, band,
+                     min(substr(md5(shingle) || md5('#' || shingle),
+                                band * 8 + 1, 8)) AS sig
+              FROM sd, (SELECT unnest(generate_series(0, 7)) AS band) bb
+              GROUP BY doc_id, band
+            ),
+            near AS (
+              SELECT DISTINCT d.doc_id
+              FROM sig_d d JOIN sig_b b
+                ON d.band = b.band AND d.sig = b.sig
+            )
+            SELECT dh.doc_id,
+                   (dh.h IN (SELECT h FROM bh)) AS exact_dup,
+                   (dh.doc_id IN (SELECT doc_id FROM near)) AS near_dup
+            FROM dh
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+                   n_name, revenue
+            FROM (
+              SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                     round(sum(CAST(l.l_extendedprice AS DOUBLE)
+                               * (1.0 - CAST(l.l_discount AS DOUBLE))), 2)
+                       AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= DATE '1996-01-01'
+                AND o.o_orderdate < DATE '1996-07-01'
+              GROUP BY 1, 2, 3, 4
+            )
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "curation_expectations": """
+            WITH one AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v0,
+                     CAST(sum(CASE WHEN NOT (length(trim(text)) > 0)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN lang NOT IN
+                                        ('en', 'de', 'es', 'fr', 'zh')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                     CAST(sum(CASE WHEN n_chars <> length(text)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                     CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v4
+              FROM documents
+            )
+            SELECT r.rule, one.n_rows, r.nv AS n_violations,
+                   round(r.nv / CAST(greatest(one.n_rows, 1) AS DOUBLE), 6)
+                     AS violation_rate,
+                   (r.nv = 0) AS passed
+            FROM one, LATERAL (
+              SELECT * FROM (VALUES
+                ('doc_id_not_null', one.v0),
+                ('text_nonempty', one.v1),
+                ('lang_known', one.v2),
+                ('n_chars_consistent', one.v3),
+                ('text_at_least_200_chars', one.v4)
+              ) AS t(rule, nv)
+            ) r
+        """,
+        "events_resample": """
+            WITH daily AS (
+              SELECT key, day, value FROM (
+                SELECT user_id AS key,
+                       CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(value AS DOUBLE) AS value,
+                       row_number() OVER (
+                         PARTITION BY user_id, date_trunc('day', ts)
+                         ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            grid AS (
+              SELECT user_id AS key,
+                     CAST(unnest(generate_series(
+                       d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (
+                SELECT user_id,
+                       CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+                       CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+                FROM events GROUP BY 1
+              )
+            )
+            SELECT key, strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+                   round(last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS value_ffill,
+                   (value IS NOT NULL) AS observed
+            FROM grid LEFT JOIN daily USING (key, day)
         """,
     }
 

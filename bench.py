@@ -117,6 +117,12 @@ EXTRAS = [
     "tpch_q6",
     "ann_pq",
     "events_anomaly_mad",
+    "text_cms_counts",
+    "dedup_delta",
+    "tpch_q10",
+    "curation_expectations",
+    "events_resample",
+    "ann_pq_adc",
 ]
 
 

@@ -66,3 +66,29 @@ def test_mad_zero_mad_degeneracy_kept_with_null_ratio(spark):
     assert [r["id"] for r in flagged] == [6]
     assert flagged[0]["dev_ratio"] is None
     assert flagged[0]["mad"] == 0.0
+
+
+def test_pq_adc_matches_exact_on_separable_data(spark):
+    from waka_spark.operators.ann import pq_adc_topk
+
+    # 12 vectors in 4d, two subspaces; candidates cover the whole corpus
+    # so ADC prune cannot drop the true top-k -> result == exact L2 top-k
+    rows = [(i, [float((i * 3) % 5), float((i + 1) % 7),
+                 float((i * 2 + 3) % 4), float(i % 3)])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+    got = pq_adc_topk(emb, q, m=2, k=4, n_iters=2,
+                      n_candidates=12, topk=3).collect()
+
+    import numpy as np
+    vecs = {i: np.array(v) for i, v in rows}
+    for q_id in (0, 1):
+        dists = sorted(
+            (round(float(((vecs[q_id] - vecs[i]) ** 2).sum()), 6), i)
+            for i in vecs if i != q_id)
+        expect = [i for _, i in dists[:3]]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["q_id"] == q_id), key=lambda r: r["rank"])]
+        assert mine == expect, q_id

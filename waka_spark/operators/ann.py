@@ -1021,3 +1021,111 @@ def pq_encode(
         F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("code"),
         F.round(total_err / dim, 6).alias("recon_mse"),
     )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    n_candidates: int = 20,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation (Jégou et al. 2011,
+    §III): approximate each query↔vector squared-L2 distance as the sum
+    of per-subspace distances from the RAW query slice to the vector's
+    ASSIGNED CENTROID, prune to ``n_candidates`` per query, then
+    exact-rerank only the candidates — the standard two-stage PQ serving
+    path (FAISS `IndexPQ.search` + refine).
+
+    Why it scales: the scan phase touches only the m-byte codes plus the
+    m×k codebook literals (the full vectors stay in storage), and the
+    expensive exact distance runs on n_candidates rows per query instead
+    of the corpus. The codes table is the :func:`pq_encode` assignment;
+    centroid lookup is an in-row ``element_at`` against the plan-literal
+    codebooks — no join on the scan path. Both ranking keys are rounded
+    1e-6 BEFORE the windows so candidate sets and final order are
+    deterministic across engines and partitionings.
+
+    Output: (q_id, vec_id, dist, rank) — dist = exact squared L2,
+    ascending.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    assert dim % m == 0
+    sub = dim // m
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    qs = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+        .alias("q_vec"),
+    )
+
+    # per-subspace codebooks + corpus code columns (pq_encode's loop)
+    coded = corpus
+    codebooks: list = []
+    for s in range(m):
+        sliced = corpus.select(
+            "vec_id", F.slice(F.col("_v"), s * sub + 1, sub).alias("embedding"))
+        cents_df = kmeans_fit(sliced, k=k, n_iters=n_iters)
+        by_cell: dict[int, list[float]] = {}
+        for r in cents_df.orderBy("cell", "dim_idx").collect():
+            by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
+        cent_lit = F.array(*[
+            F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
+        ])
+        codebooks.append(cent_lit)
+        coded = coded.join(
+            ivf_assign(sliced, cent_lit).select(
+                "vec_id", F.col("cell").alias(f"_c{s}")),
+            "vec_id",
+        )
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    approx = sum(
+        (
+            sq_dist(
+                F.slice(F.col("q_vec"), s * sub + 1, sub),
+                F.element_at(codebooks[s], F.col(f"_c{s}") + 1),
+            )
+            for s in range(1, m)
+        ),
+        sq_dist(
+            F.slice(F.col("q_vec"), 1, sub),
+            F.element_at(codebooks[0], F.col("_c0") + 1),
+        ),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qs))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("_adc", F.round(approx, 6))
+    )
+    w_c = Window.partitionBy("q_id").orderBy(
+        F.col("_adc").asc(), F.col("vec_id").asc())
+    cands = (
+        scored.withColumn("_rn", F.row_number().over(w_c))
+        .filter(F.col("_rn") <= n_candidates)
+        .select("q_id", "vec_id", "_v")
+    )
+    exact = cands.join(
+        F.broadcast(qs), "q_id"
+    ).withColumn("dist", F.round(sq_dist(F.col("_v"), F.col("q_vec")), 6))
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "dist", "rank")
+    )

@@ -754,3 +754,45 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def quality_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Schema/content contract validation (the dbt-test / Great
+    Expectations pattern) as ONE aggregate: each rule is (name, boolean
+    Column that must hold per row); output is one row per rule with its
+    violation count and rate — the gate a 100 TB ingest runs before
+    promoting a batch from staging to the curated table.
+
+    Scale shape: a single scan computing every rule as a conditional sum
+    in one hash-free global agg (partial-aggregated map-side to one row),
+    then a literal explode to (rule, ...) rows — cost is one corpus scan
+    regardless of rule count, never a scan per rule.
+
+    Output: (rule, n_rows, n_violations, violation_rate, passed).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, (_, cond) in enumerate(rules):
+        aggs.append(
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(f"_v{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"_v{i}").alias("n_violations"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ])
+    return one.select(
+        F.explode(rows).alias("_r"), F.col("_n").alias("n_rows")
+    ).select(
+        F.col("_r.rule").alias("rule"),
+        "n_rows",
+        F.col("_r.n_violations").alias("n_violations"),
+        F.round(
+            F.col("_r.n_violations") / F.greatest("n_rows", F.lit(1)), 6
+        ).alias("violation_rate"),
+        (F.col("_r.n_violations") == 0).alias("passed"),
+    )

@@ -609,3 +609,58 @@ def containment_pairs(
             (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold))
         .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
     )
+
+
+def delta_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: flag each DELTA document that duplicates
+    the existing BASE corpus — the shape a daily crawl-ingest pipeline
+    actually runs (the full-corpus pair generators rebuild everything;
+    production dedups the new batch against the standing corpus and only
+    periodically re-runs the global pass).
+
+    Two independent signals per delta doc:
+
+    - ``exact_dup``: normalized-text md5 exists in base — a LEFT SEMI
+      probe against the base hash set (the base side reduces to distinct
+      hashes; no payload moves).
+    - ``near_dup``: shares ≥1 MinHash band signature with any base doc —
+      the banded LSH collision test (minhash_signatures), again a semi
+      join on (band, sig), so candidate *pairs* never materialize: cost
+      is delta-size, not delta × base.
+
+    Output: (doc_id, exact_dup, near_dup) for every delta doc.
+    """
+    base_hashes = base.select(
+        F.md5(normalize_text(F.col(text_col))).alias("_h")).distinct()
+    delta_h = delta.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("_h"),
+    )
+    exact = (
+        delta_h.join(base_hashes, "_h", "left_semi")
+        .select("doc_id").withColumn("_exact", F.lit(True))
+    )
+
+    base_sigs = minhash_signatures(
+        base, id_col, text_col).select("band", "sig").distinct()
+    delta_sigs = minhash_signatures(delta, id_col, text_col)
+    near = (
+        delta_sigs.join(base_sigs, ["band", "sig"], "left_semi")
+        .select("doc_id").distinct().withColumn("_near", F.lit(True))
+    )
+
+    return (
+        delta.select(F.col(id_col).alias("doc_id"))
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_exact", F.lit(False)).alias("exact_dup"),
+            F.coalesce("_near", F.lit(False)).alias("near_dup"),
+        )
+    )

@@ -100,3 +100,85 @@ def corpus_profile(
         F.percentile_approx("n_words", 0.99, 10_000).alias("p99_words"),
     )
     return doc_stats.crossJoin(word_stats).crossJoin(length_stats)
+
+
+def cms_top_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) expressed as relational algebra, validated against exact counts
+    for the top-``k`` words.
+
+    The sketch is a d×w counter grid: cell (j, h_j(word)) += 1 per token,
+    estimate(word) = min_j cell(j, h_j(word)) — always ≥ the true count
+    (collisions only inflate). Why it matters at 100 TB: the sketch is
+    FIXED SIZE (d·w cells) regardless of vocabulary, partial-aggregates
+    map-side, and two sketches merge by cell-wise addition — frequency
+    estimation with no vocabulary-sized shuffle, the same reason the HLL
+    profiler above exists. Here d·w cells come from ONE hash-agg whose
+    key cardinality is d·w, not |vocab|.
+
+    Hashes are md5 over ``j ':' word`` — engine-portable, independent
+    rows of the grid. Output: (word, exact_count, cms_estimate) for the
+    top-k exact words (exact side exists to measure the sketch error;
+    production reads only the sketch).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "),
+                " ",
+            )
+        ).alias("word")
+    ).filter(F.col("word") != "")
+
+    def bucket(j: int, word) -> object:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), word)), 1, 8),
+                16, 10,
+            ).cast("long") % w
+        ).cast("int")
+
+    rows = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 bucket(j, F.col("word")).alias("bucket"))
+        for j in range(d)
+    ])
+    sketch = (
+        toks.select(F.explode(rows).alias("_c"))
+        .groupBy(F.col("_c.j").alias("j"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+
+    exact = toks.groupBy("word").agg(
+        F.count("*").cast("long").alias("exact_count"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a single-partition sort of
+    # the vocabulary — same shape as key_skew_profile above
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("word").asc()).limit(k)
+
+    probes = top.select(
+        "word", "exact_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("j"),
+                     bucket(j, F.col("word")).alias("bucket"))
+            for j in range(d)
+        ])).alias("_p"),
+    ).select("word", "exact_count",
+             F.col("_p.j").alias("j"), F.col("_p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )

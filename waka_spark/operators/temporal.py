@@ -475,3 +475,65 @@ def mad_outliers(
         F.round("mad", 6).alias("mad"),
         "dev_ratio",
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key daily resample with forward fill: one row per (key, day)
+    over each key's active span, carrying the key's latest observed value
+    as of that day — the gap-filling pass that turns an irregular event
+    stream into the regular grid downstream feature pipelines and
+    dashboards consume.
+
+    Three steps, all key-partitioned: (1) per-(key, day) LAST observation
+    by (ts, id) — a row_number window; (2) the day grid per key — one
+    (min, max) agg + an in-row ``sequence`` explode (grid rows are
+    span-bounded, never timestamp-cardinality); (3) forward fill — a
+    running ``last(value, ignorenulls=True)`` over the day order, the
+    same union-window trick as ``asof_join`` one screen up. Every shuffle
+    keys on ``key_col``; nothing quadratic, no self-join.
+
+    Output: (key, day, value_ffill, observed).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    w_last = Window.partitionBy("key", "day").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc())
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"), day.alias("day"),
+            F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("key", "day", "value")
+    )
+    grid = (
+        events.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.min(day).alias("_d0"),
+            F.max(day).alias("_d1"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("_d0"), F.col("_d1"))
+            ).alias("day"),
+        )
+    )
+    w_ff = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(daily, ["key", "day"], "left")
+        .withColumn("value_ffill",
+                    F.round(F.last("value", ignorenulls=True).over(w_ff), 6))
+        .select(
+            "key", "day", "value_ffill",
+            F.col("value").isNotNull().alias("observed"),
+        )
+    )

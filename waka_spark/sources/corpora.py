@@ -98,3 +98,62 @@ def gold_triples(corpus: DataFrame, relations_col: str = "relations") -> DataFra
         )
         .distinct()
     )
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Ingest raw JSONL transcripts into the input_hint schema
+    (conv_id, turn_idx, role, text, tool, ts) with production ingest
+    semantics:
+
+    - **Explicit schema**, never inference: one pass, stable types, and
+      schema drift in the source surfaces as corrupt rows instead of a
+      silently different DataFrame (inference also costs a full extra
+      scan at 100 TB).
+    - **PERMISSIVE corrupt handling**: malformed lines land in
+      ``_corrupt`` instead of failing the job; callers route them to a
+      quarantine sink and alert on the rate (see
+      curation.quality_expectations).
+    - **At-least-once dedup**: re-delivered turns (same conv_id,
+      turn_idx) keep the latest ``ts`` (ties: lexicographically greatest
+      text) — one window over the natural key, the idempotent-ingest
+      contract every replayed pipeline needs.
+
+    Output: the input_hint columns + ``_corrupt`` (null for good rows).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        # Spark refuses queries that reference only the internal corrupt
+        # column on an un-materialized JSON scan (SPARK-21610); persisting
+        # the parsed frame is the documented fix. At ingest scale the
+        # equivalent is landing the parsed batch to staging parquet and
+        # splitting from there — same materialization, durable.
+        .persist()
+    )
+    good = raw.filter(F.col("_corrupt").isNull())
+    bad = raw.filter(F.col("_corrupt").isNotNull())
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("text").desc())
+    deduped = (
+        good.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return deduped.unionByName(bad)

@@ -73,3 +73,33 @@ def write_graph(
         .repartition(partitions, "conv_id")
         .write.mode("overwrite").parquet(f"{base_path}/nodes")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Partition-pruned parquet layout with bounded file sizes — the
+    materialization contract for every table this engine writes at scale:
+
+    - ``partitionBy`` on the query-predicate columns so downstream scans
+      prune directories (a reader filtering one language/day touches one
+      subtree, not the corpus);
+    - an explicit ``repartition`` on the partition columns first, so each
+      Hive partition is written by the tasks that own its rows — without
+      it every task holds a file handle per partition value and a
+      1000-task × 1000-partition write emits a million small files (the
+      classic small-files incident);
+    - ``maxRecordsPerFile`` caps single-file size where one partition
+      value is hot (Zipf languages), letting the write stay parallel on
+      re-read.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
