@@ -2177,6 +2177,32 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, m=4, k=8, n_iters=2, n_candidates=20, topk=5)
 
 
+def q_conv_task_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT instruction-response pair mining (operators/transcripts.py
+    task_outcome_pairs): first user turn + last assistant turn per
+    conversation in ONE min_by/max_by hash agg."""
+    from waka_spark.operators.transcripts import task_outcome_pairs
+
+    return task_outcome_pairs(_role_transcripts(spark, sf_dir))
+
+
+def q_conv_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-turn detection (operators/transcripts.py
+    boilerplate_turns): a synthetic system banner is injected into every
+    conversation (turn -1) and must be the sole flagged text — the
+    system-prompt scrub every transcript corpus runs before dedup."""
+    from waka_spark.operators.transcripts import boilerplate_turns
+
+    t = _role_transcripts(spark, sf_dir)
+    banner = t.select("conv_id").distinct().select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit("You are a helpful assistant.").alias("text"),
+    )
+    return boilerplate_turns(t.unionByName(banner), min_convs=3)
+
+
 def q_curation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest contract validation (operators/curation.py
     quality_expectations): five row-level rules evaluated in ONE corpus
@@ -2361,6 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_expectations": q_curation_expectations,
         "events_resample": q_events_resample,
         "ann_pq_adc": q_ann_pq_adc,
+        "conv_task_outcome": q_conv_task_outcome,
+        "conv_boilerplate": q_conv_boilerplate,
     }
 
 
@@ -5383,6 +5411,51 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "conv_task_outcome": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            )
+            SELECT conv_id,
+                   arg_min(CASE WHEN role = 'user' THEN text END,
+                           CASE WHEN role = 'user' THEN turn_idx END)
+                     AS task_text,
+                   min(CASE WHEN role = 'user' THEN turn_idx END)
+                     AS task_turn,
+                   arg_max(CASE WHEN role = 'assistant' THEN text END,
+                           CASE WHEN role = 'assistant' THEN turn_idx END)
+                     AS outcome_text,
+                   max(CASE WHEN role = 'assistant' THEN turn_idx END)
+                     AS outcome_turn,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM t GROUP BY conv_id
+        """,
+        "conv_boilerplate": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id, text FROM documents
+              UNION ALL
+              SELECT DISTINCT {_CONV} AS conv_id,
+                     'You are a helpful assistant.' AS text
+              FROM documents
+            ),
+            n AS (
+              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS text_hash,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS txt,
+                     conv_id
+              FROM t
+            )
+            SELECT text_hash, any_value(txt) AS text,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM n GROUP BY text_hash
+            HAVING count(DISTINCT conv_id) >= 3
         """,
         "ann_pq": _pq_sql(m=4, k=8, dim=64),
         "ann_pq_adc": _pq_adc_sql(m=4, k=8, dim=64,

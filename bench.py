@@ -123,6 +123,8 @@ EXTRAS = [
     "curation_expectations",
     "events_resample",
     "ann_pq_adc",
+    "conv_task_outcome",
+    "conv_boilerplate",
 ]
 
 

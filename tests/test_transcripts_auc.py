@@ -94,3 +94,43 @@ def test_covariance_matches_numpy(spark):
     assert len(got) == 4 * 5 / 2
     for (i, j), v in got.items():
         assert abs(v - expect[i, j]) < 2e-6, (i, j)
+
+
+def test_task_outcome_pairs(spark):
+    from waka_spark.operators.transcripts import task_outcome_pairs
+
+    rows = [
+        ("c1", 0, "tool", "banner"),
+        ("c1", 1, "user", "please do X"),
+        ("c1", 2, "assistant", "working"),
+        ("c1", 3, "user", "refine"),
+        ("c1", 4, "assistant", "done: X"),
+        ("c2", 0, "user", "solo question"),      # no assistant turn
+    ]
+    got = {r["conv_id"]: r for r in
+           task_outcome_pairs(_tr(spark, rows)).collect()}
+    assert got["c1"]["task_text"] == "please do X"
+    assert got["c1"]["task_turn"] == 1
+    assert got["c1"]["outcome_text"] == "done: X"
+    assert got["c1"]["outcome_turn"] == 4
+    assert got["c1"]["n_turns"] == 5
+    assert got["c2"]["outcome_text"] is None
+    assert got["c2"]["task_text"] == "solo question"
+
+
+def test_boilerplate_turns_detects_cross_conv_templates(spark):
+    from waka_spark.operators.transcripts import boilerplate_turns
+
+    rows = (
+        [(f"c{i}", 0, "tool", "You are  a helpful assistant.")
+         for i in range(4)]
+        + [(f"c{i}", 1, "user", f"unique question {i}") for i in range(4)]
+        + [("c0", 2, "user", "repeated in one conv"),
+           ("c0", 3, "user", "repeated in one conv")]
+    )
+    got = boilerplate_turns(_tr(spark, rows), min_convs=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    # whitespace-normalized surface, all 4 conversations counted
+    assert r["text"] == "you are a helpful assistant."
+    assert r["n_convs"] == 4 and r["n_occurrences"] == 4

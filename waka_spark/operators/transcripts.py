@@ -93,3 +93,75 @@ def loss_mask_stats(
             ),
         )
     )
+
+
+def task_outcome_pairs(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Instruction-response pair mining: per conversation, the FIRST user
+    turn (the task) and the LAST assistant turn (the outcome) — the
+    cheapest SFT-pair extraction over raw transcripts, and the unit most
+    preference/distillation pipelines start from.
+
+    ONE hash agg per conversation using ``min_by``/``max_by`` on the turn
+    index (no windows, no self-joins; map-side partial combine applies).
+    Conversations missing either role emit NULL on that side — callers
+    filter or route to repair.
+
+    Output: (conv_id, task_text, task_turn, outcome_text, outcome_turn,
+    n_turns).
+    """
+    is_user = F.col(role_col) == "user"
+    is_asst = F.col(role_col) == "assistant"
+    turn = F.col(turn_col)
+    return transcripts.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.min_by(
+            F.when(is_user, F.col(text_col)), F.when(is_user, turn)
+        ).alias("task_text"),
+        F.min(F.when(is_user, turn)).alias("task_turn"),
+        F.max_by(
+            F.when(is_asst, F.col(text_col)), F.when(is_asst, turn)
+        ).alias("outcome_text"),
+        F.max(F.when(is_asst, turn)).alias("outcome_turn"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+
+
+def boilerplate_turns(
+    transcripts: DataFrame,
+    min_convs: int = 3,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Templated-turn detection: normalized turn texts appearing in at
+    least ``min_convs`` DISTINCT conversations — system prompts, canned
+    greetings, tool banners. These are the transcript analog of web
+    boilerplate: left in, they dominate n-gram statistics and produce
+    cross-conversation near-dup false positives; pipelines scrub or
+    down-weight them before dedup/training.
+
+    One distinct projection + one hash-agg keyed by the text hash (the
+    text itself travels via ``any_value``, not as the grouping key, so
+    the shuffle carries a fixed-width hash). Output: (text_hash, text,
+    n_convs, n_occurrences) for flagged turns.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.md5(norm).alias("text_hash"),
+        norm.alias("_text"),
+    )
+    return (
+        base.groupBy("text_hash")
+        .agg(
+            F.first("_text").alias("text"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
