@@ -1968,10 +1968,13 @@ def q_text_kl_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), slice_col="lang", n_buckets=256)
 
 
-def _role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _role_transcripts(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None,
+) -> DataFrame:
     """documents → transcripts with the conv_turn_transitions role
     convention (turn_idx % 3 → user/assistant/tool)."""
-    docs = _t(spark, sf_dir, "documents")
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
     mod = max(50, docs.count() // 100)
     turn = (F.col("doc_id") / mod).cast("int")
     role = F.element_at(
@@ -1983,6 +1986,76 @@ def _role_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         role.alias("role"),
         "text",
     )
+
+
+def _tool_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → FULL input_hint transcript shape (conv_id, turn_idx,
+    role, text, tool, ts), all columns deterministic in doc_id: tool
+    turns carry one of four tool names (doc_id % 4), every 5th tool turn
+    is an injected 'error: ' text, and ts advances ~600s per turn with a
+    doc_id % 97 jitter (monotone within a conversation)."""
+    docs = _t(spark, sf_dir, "documents")
+    mod = max(50, docs.count() // 100)
+    turn = (F.col("doc_id") / mod).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (turn % 3) + 1)
+    is_tool = (turn % 3) == 2
+    tool = F.when(is_tool, F.element_at(
+        F.array(F.lit("search"), F.lit("browser"),
+                F.lit("python"), F.lit("bash")),
+        (F.col("doc_id") % 4 + 1).cast("int")))
+    text = F.when(
+        is_tool & (F.col("doc_id") % 5 == 0),
+        F.concat(F.lit("error: "), F.col("text")),
+    ).otherwise(F.col("text"))
+    ts = F.timestamp_seconds(
+        F.lit(1767225600).cast("long")
+        + turn.cast("long") * 600 + F.col("doc_id") % 97)
+    return docs.select(
+        (F.col("doc_id") % mod).cast("string").alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def q_tool_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool call volume / reach / error-rate / latency profile
+    (operators/tools.py tool_usage_stats) over the full input_hint
+    transcript shape — first op to exercise the tool and ts columns."""
+    from waka_spark.operators.tools import tool_usage_stats
+
+    return tool_usage_stats(_tool_transcripts(spark, sf_dir))
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool→tool transition bigrams within conversations
+    (operators/tools.py tool_transitions): the Markov skeleton of agent
+    behavior, one lag window + one hash agg."""
+    from waka_spark.operators.tools import tool_transitions
+
+    return tool_transitions(_tool_transcripts(spark, sf_dir))
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role turn-latency distribution (operators/tools.py
+    turn_latency_stats): exact p50/p95/avg/max of ts deltas — the SLA
+    view used to filter timed-out trajectories."""
+    from waka_spark.operators.tools import turn_latency_stats
+
+    return turn_latency_stats(_tool_transcripts(spark, sf_dir))
+
+
+def q_tool_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-cascade detection (operators/tools.py tool_error_streaks):
+    gaps-and-islands runs of consecutive erroring tool turns — the
+    retry-loop signature trajectory filtering cuts."""
+    from waka_spark.operators.tools import tool_error_streaks
+
+    return tool_error_streaks(_tool_transcripts(spark, sf_dir), min_len=2)
 
 
 def q_conv_context_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,6 +2276,137 @@ def q_conv_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_turns(t.unionByName(banner), min_convs=3)
 
 
+def _branched_transcripts(
+    spark: SparkSession, sf_dir: str, k: int, role_at_k: str,
+) -> DataFrame:
+    """Inject a deterministic regeneration fork per conversation: a
+    branched copy (conv_id + '_b') sharing turns 0..k-1 verbatim, then
+    diverging at turn k with a synthetic regenerated turn."""
+    t = _role_transcripts(spark, sf_dir)
+    pre = t.filter(F.col("turn_idx") < k).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_b")))
+    div = t.select("conv_id").distinct().select(
+        F.concat(F.col("conv_id"), F.lit("_b")).alias("conv_id"),
+        F.lit(k).cast("int").alias("turn_idx"),
+        F.lit(role_at_k).alias("role"),
+        F.concat(F.lit("regenerated: "), F.col("conv_id")).alias("text"),
+    )
+    return t.unionByName(pre).unionByName(div)
+
+
+def q_conv_branch_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regeneration-fork detection (operators/transcripts.py
+    branch_points): a branched copy of every conversation shares turns
+    0-1 then diverges at turn 2; the shared-prefix chained-hash agg must
+    flag exactly those forks."""
+    from waka_spark.operators.transcripts import branch_points
+
+    return branch_points(
+        _branched_transcripts(spark, sf_dir, k=2, role_at_k="tool"))
+
+
+def q_conv_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining at forks (operators/transcripts.py
+    response_variants): branched copies diverge at turn 1 (an assistant
+    turn), yielding one (same-context, two-responses) pair per
+    conversation — the DPO/reward-model raw material."""
+    from waka_spark.operators.transcripts import response_variants
+
+    return response_variants(
+        _branched_transcripts(spark, sf_dir, k=1, role_at_k="assistant"))
+
+
+def q_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structural gate (operators/transcripts.py
+    structure_check): deterministic defects are injected (every 7th
+    doc_id turn dropped → gaps + wrong first role; every 11th turn
+    blanked → empty turns) and the per-conversation validity report
+    must account for them."""
+    from waka_spark.operators.transcripts import structure_check
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 != 3
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 5, F.lit("  "))
+        .otherwise(F.col("text")),
+    )
+    return structure_check(_role_transcripts(spark, sf_dir, docs=docs))
+
+
+def q_conv_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-response SFT example extraction (operators/transcripts.py
+    sft_examples): every assistant turn paired with the most recent
+    preceding user turn via one running ignore-nulls window."""
+    from waka_spark.operators.transcripts import sft_examples
+
+    return sft_examples(_role_transcripts(spark, sf_dir))
+
+
+def q_conv_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup (operators/transcripts.py
+    conv_exact_dups): every third conversation gets a verbatim copy
+    (conv_id + '_x'); the ordered-turn-hash identity must collapse each
+    copy onto its original as canonical."""
+    from waka_spark.operators.transcripts import conv_exact_dups
+
+    t = _role_transcripts(spark, sf_dir)
+    copies = t.filter(F.col("conv_id").cast("int") % 3 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_x")))
+    return conv_exact_dups(t.unionByName(copies))
+
+
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup pairs by turn-set Jaccard
+    (operators/transcripts.py conv_near_dups): a mutated copy of every
+    conversation (turn 5 regenerated) shares 9 of 10 turns with its
+    original — Jaccard 9/11 — and must surface as a flagged pair via
+    the banded MinHash candidate join."""
+    from waka_spark.operators.transcripts import conv_near_dups
+
+    t = _role_transcripts(spark, sf_dir)
+    mut = t.select(
+        F.concat(F.col("conv_id"), F.lit("_d")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("turn_idx") == 5,
+            F.concat(F.lit("regenerated: "), F.col("conv_id")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return conv_near_dups(t.unionByName(mut), threshold=0.7)
+
+
+def q_conv_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection (operators/transcripts.py
+    assistant_loops): each conversation's assistant turn 4 is replayed
+    verbatim at injected turns 100/101 — a 3x repeat the per-conversation
+    (conv_id, text-hash) agg must flag."""
+    from waka_spark.operators.transcripts import assistant_loops
+
+    t = _role_transcripts(spark, sf_dir)
+    echo = t.filter(F.col("turn_idx") == 4).select(
+        "conv_id",
+        F.lit(100).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        "text",
+    )
+    echo2 = echo.withColumn("turn_idx", F.lit(101).cast("int"))
+    return assistant_loops(
+        t.unionByName(echo).unionByName(echo2), min_repeats=3)
+
+
+def q_conv_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn lexical cohesion / topic-segment boundaries
+    (operators/transcripts.py turn_cohesion): per-turn Jaccard of
+    distinct-token sets against the previous turn, one window shuffle,
+    token sets never leave the row."""
+    from waka_spark.operators.transcripts import turn_cohesion
+
+    return turn_cohesion(
+        _role_transcripts(spark, sf_dir), boundary_threshold=0.1)
+
+
 def q_curation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest contract validation (operators/curation.py
     quality_expectations): five row-level rules evaluated in ONE corpus
@@ -2389,11 +2593,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "conv_task_outcome": q_conv_task_outcome,
         "conv_boilerplate": q_conv_boilerplate,
+        "conv_branch_points": q_conv_branch_points,
+        "conv_preference_pairs": q_conv_preference_pairs,
+        "conv_structure": q_conv_structure,
+        "conv_sft_examples": q_conv_sft_examples,
+        "conv_exact_dups": q_conv_exact_dups,
+        "conv_near_dups": q_conv_near_dups,
+        "conv_loops": q_conv_loops,
+        "conv_cohesion": q_conv_cohesion,
+        "tool_usage_stats": q_tool_usage_stats,
+        "tool_transitions": q_tool_transitions,
+        "turn_latency": q_turn_latency,
+        "tool_error_streaks": q_tool_error_streaks,
     }
 
 
 _CONV = "CAST(doc_id % 50 AS VARCHAR)"
 _TURN = "(doc_id // 50)"
+
+# DuckDB replay of _tool_transcripts: the full input_hint transcript
+# shape with deterministic tool / error / epoch-second ts columns.
+_TOOLTR = f"""
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     CASE WHEN {_TURN} % 3 = 2 AND doc_id % 5 = 0
+                          THEN 'error: ' || text ELSE text END AS text,
+                     CASE WHEN {_TURN} % 3 = 2
+                          THEN (['search', 'browser', 'python', 'bash'])
+                               [(doc_id % 4) + 1]
+                     END AS tool,
+                     1767225600 + {_TURN} * 600 + doc_id % 97 AS ts_s
+              FROM documents
+"""
 
 # Two Lloyd iterations of spherical k-means (k=8, dim=64) as shared CTEs —
 # the DuckDB replay of operators/ann.kmeans_fit's deterministic loop
@@ -5456,6 +5689,419 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_occurrences
             FROM n GROUP BY text_hash
             HAVING count(DISTINCT conv_id) >= 3
+        """,
+        # Shared CTE text for the branch-fork oracles: role transcripts +
+        # a branched copy of every conversation (turns 0..k-1 verbatim
+        # under conv_id || '_b', then one synthetic regenerated turn at
+        # k), per-turn md5 of normalized text, running prefix hash
+        # (chained md5 over the ordered turn-hash concatenation), and the
+        # next turn's hash/norm/role via lead() — the DuckDB replay of
+        # operators/transcripts._with_prefix_state.
+        "conv_branch_points": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            ),
+            tr AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT conv_id || '_b', turn_idx, role, text
+              FROM base WHERE turn_idx < 2
+              UNION ALL
+              SELECT DISTINCT conv_id || '_b', CAST(2 AS INT), 'tool',
+                     'regenerated: ' || conv_id
+              FROM base
+            ),
+            h AS (
+              SELECT conv_id, turn_idx,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g')) AS turn_hash
+              FROM tr
+            ),
+            st AS (
+              SELECT conv_id, turn_idx,
+                     md5(string_agg(turn_hash, '') OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )) AS prefix_hash,
+                     lead(turn_hash) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                     ) AS next_hash
+              FROM h
+            )
+            SELECT turn_idx, prefix_hash,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(DISTINCT next_hash) AS BIGINT) AS n_variants
+            FROM st GROUP BY turn_idx, prefix_hash
+            HAVING count(DISTINCT conv_id) >= 2
+               AND count(DISTINCT next_hash) >= 2
+        """,
+        "conv_preference_pairs": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            ),
+            tr AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT conv_id || '_b', turn_idx, role, text
+              FROM base WHERE turn_idx < 1
+              UNION ALL
+              SELECT DISTINCT conv_id || '_b', CAST(1 AS INT), 'assistant',
+                     'regenerated: ' || conv_id
+              FROM base
+            ),
+            h AS (
+              SELECT conv_id, turn_idx, role,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS norm,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g')) AS turn_hash
+              FROM tr
+            ),
+            st AS (
+              SELECT conv_id, turn_idx,
+                     md5(string_agg(turn_hash, '') OVER w) AS prefix_hash,
+                     lead(turn_hash) OVER w2 AS next_hash,
+                     lead(norm) OVER w2 AS next_norm,
+                     lead(role) OVER w2 AS next_role
+              FROM h
+              WINDOW w AS (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ), w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT turn_idx AS branch_turn, prefix_hash,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(DISTINCT next_hash) AS BIGINT) AS n_variants,
+                   arg_min(next_norm, next_hash) AS variant_a,
+                   arg_max(next_norm, next_hash) AS variant_b
+            FROM st
+            WHERE next_role = 'assistant' AND next_hash IS NOT NULL
+            GROUP BY turn_idx, prefix_hash
+            HAVING count(DISTINCT next_hash) >= 2
+        """,
+        "conv_structure": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 5 THEN '  ' ELSE text END
+                       AS text
+              FROM documents WHERE doc_id % 7 != 3
+            ),
+            t AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM d
+            ),
+            l AS (
+              SELECT *,
+                     lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                     ) AS prev_role,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS norm
+              FROM t
+            ),
+            a AS (
+              SELECT conv_id,
+                     CAST(count(*) AS BIGINT) AS n_turns,
+                     (arg_min(role, turn_idx) = 'user')
+                       AS starts_with_user,
+                     (arg_max(role, turn_idx) = 'assistant')
+                       AS ends_with_assistant,
+                     CAST(max(turn_idx) - min(turn_idx) + 1 - count(*)
+                          AS BIGINT) AS n_gaps,
+                     CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_role_repeats,
+                     CAST(sum(CASE WHEN norm = '' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_empty_turns
+              FROM l GROUP BY conv_id
+            )
+            SELECT *,
+                   (starts_with_user AND n_gaps = 0
+                    AND n_role_repeats = 0 AND n_empty_turns = 0) AS valid
+            FROM a
+        """,
+        "conv_sft_examples": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            ),
+            ctx AS (
+              SELECT conv_id, turn_idx, role,
+                     text AS response_text,
+                     last_value(CASE WHEN role = 'user' THEN turn_idx END
+                                IGNORE NULLS) OVER w AS prompt_turn,
+                     last_value(CASE WHEN role = 'user' THEN text END
+                                IGNORE NULLS) OVER w AS prompt_text
+              FROM t
+              WINDOW w AS (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT conv_id, turn_idx, prompt_turn, prompt_text,
+                   response_text
+            FROM ctx WHERE role = 'assistant'
+        """,
+        "conv_exact_dups": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     text
+              FROM documents
+            ),
+            tr AS (
+              SELECT conv_id, turn_idx, text FROM base
+              UNION ALL
+              SELECT conv_id || '_x', turn_idx, text
+              FROM base WHERE CAST(conv_id AS INT) % 3 = 0
+            ),
+            h AS (
+              SELECT conv_id, turn_idx,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                        'g')) AS th
+              FROM tr
+            ),
+            conv AS (
+              SELECT conv_id,
+                     md5(string_agg(th, '' ORDER BY turn_idx))
+                       AS conv_hash
+              FROM h GROUP BY conv_id
+            )
+            SELECT conv_id, conv_hash,
+                   min(conv_id) OVER (PARTITION BY conv_hash)
+                     AS canonical_conv_id,
+                   CAST(count(*) OVER (PARTITION BY conv_hash) AS BIGINT)
+                     AS group_size,
+                   (conv_id != min(conv_id) OVER (
+                      PARTITION BY conv_hash)) AS is_dup
+            FROM conv
+        """,
+        "conv_near_dups": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     text
+              FROM documents
+            ),
+            tr AS (
+              SELECT conv_id, text FROM base
+              UNION ALL
+              SELECT conv_id || '_d',
+                     CASE WHEN turn_idx = 5
+                          THEN 'regenerated: ' || conv_id
+                          ELSE text END
+              FROM base
+            ),
+            turns AS (
+              SELECT DISTINCT conv_id, md5(n) || md5('#' || n) AS hex
+              FROM (
+                SELECT conv_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g') AS n
+                FROM tr
+              )
+            ),
+            sz AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+              FROM turns GROUP BY conv_id
+            ),
+            sigs AS (
+              SELECT conv_id, band,
+                     min(substr(hex, CAST(band * 8 + 1 AS INT), 8)) AS sig
+              FROM turns, (SELECT unnest(range(8)) AS band) AS bands
+              GROUP BY conv_id, band
+            ),
+            bounded AS (
+              SELECT s.* FROM sigs s
+              JOIN (
+                SELECT band, sig FROM sigs
+                GROUP BY band, sig HAVING count(*) <= 1000
+              ) ok ON s.band = ok.band AND s.sig = ok.sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+              FROM bounded a JOIN bounded b
+                ON a.band = b.band AND a.sig = b.sig
+               AND a.conv_id < b.conv_id
+            ),
+            common AS (
+              SELECT c.conv_a, c.conv_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM cand c
+              JOIN turns ta ON ta.conv_id = c.conv_a
+              JOIN turns tb ON tb.conv_id = c.conv_b AND tb.hex = ta.hex
+              GROUP BY c.conv_a, c.conv_b
+            )
+            SELECT conv_a, conv_b, n_common,
+                   round(n_common / (sa.n + sb.n - n_common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sz sa ON sa.conv_id = conv_a
+            JOIN sz sb ON sb.conv_id = conv_b
+            WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+        """,
+        "conv_loops": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            ),
+            tr AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT conv_id, CAST(100 AS INT), 'assistant', text
+              FROM base WHERE turn_idx = 4
+              UNION ALL
+              SELECT conv_id, CAST(101 AS INT), 'assistant', text
+              FROM base WHERE turn_idx = 4
+            ),
+            a AS (
+              SELECT conv_id, turn_idx,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS n
+              FROM tr WHERE role = 'assistant'
+            )
+            SELECT conv_id, md5(n) AS text_hash,
+                   arg_min(n, turn_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_repeats,
+                   min(turn_idx) AS first_turn,
+                   max(turn_idx) AS last_turn
+            FROM a GROUP BY conv_id, md5(n) HAVING count(*) >= 3
+        """,
+        "conv_cohesion": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     text
+              FROM documents
+            ),
+            tk AS (
+              SELECT conv_id, turn_idx,
+                     list_distinct(list_filter(
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' '),
+                       x -> x != '')) AS toks
+              FROM t
+            ),
+            l AS (
+              SELECT conv_id, turn_idx, toks,
+                     lag(toks) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM tk
+            ),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN prev IS NOT NULL
+                           AND len(list_distinct(toks || prev)) > 0
+                          THEN round(len(list_intersect(toks, prev))
+                                     / len(list_distinct(toks || prev)), 6)
+                     END AS cohesion
+              FROM l
+            )
+            SELECT conv_id, turn_idx, n_tokens, cohesion,
+                   coalesce(cohesion < 0.1, false) AS is_boundary
+            FROM c
+        """,
+        "tool_usage_stats": f"""
+            WITH t AS ({_TOOLTR}),
+            l AS (
+              SELECT *, ts_s - lag(ts_s) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS lat
+              FROM t
+            ),
+            c AS (
+              SELECT *,
+                     CASE WHEN regexp_replace(lower(trim(text)), '\\s+',
+                                              ' ', 'g') LIKE 'error%'
+                          THEN 1 ELSE 0 END AS is_err
+              FROM l WHERE role = 'tool' AND tool IS NOT NULL
+            )
+            SELECT tool,
+                   CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(is_err) AS BIGINT) AS n_errors,
+                   round(sum(is_err) / count(*), 6) AS error_rate,
+                   round(avg(lat), 6) AS avg_latency_s,
+                   CAST(max(lat) AS BIGINT) AS max_latency_s
+            FROM c GROUP BY tool
+        """,
+        "tool_transitions": f"""
+            WITH t AS ({_TOOLTR}),
+            c AS (
+              SELECT conv_id, turn_idx, tool FROM t
+              WHERE role = 'tool' AND tool IS NOT NULL
+            ),
+            p AS (
+              SELECT conv_id,
+                     lag(tool) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                     ) AS src_tool,
+                     tool AS dst_tool
+              FROM c
+            )
+            SELECT src_tool, dst_tool,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM p WHERE src_tool IS NOT NULL
+            GROUP BY src_tool, dst_tool
+        """,
+        "turn_latency": f"""
+            WITH t AS ({_TOOLTR}),
+            l AS (
+              SELECT role, ts_s - lag(ts_s) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS lat
+              FROM t
+            )
+            SELECT role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   round(quantile_cont(lat, 0.5), 6) AS p50_latency_s,
+                   round(quantile_cont(lat, 0.95), 6) AS p95_latency_s,
+                   round(avg(lat), 6) AS avg_latency_s,
+                   CAST(max(lat) AS BIGINT) AS max_latency_s
+            FROM l WHERE lat IS NOT NULL GROUP BY role
+        """,
+        "tool_error_streaks": f"""
+            WITH t AS ({_TOOLTR}),
+            c AS (
+              SELECT conv_id, turn_idx, tool,
+                     (regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                        LIKE 'error%') AS is_error,
+                     row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS seq
+              FROM t WHERE role = 'tool' AND tool IS NOT NULL
+            ),
+            e AS (
+              SELECT *, seq - row_number() OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS island
+              FROM c WHERE is_error
+            )
+            SELECT conv_id,
+                   arg_min(tool, turn_idx) AS tool,
+                   min(turn_idx) AS start_turn,
+                   max(turn_idx) AS end_turn,
+                   CAST(count(*) AS BIGINT) AS streak_len
+            FROM e GROUP BY conv_id, island HAVING count(*) >= 2
         """,
         "ann_pq": _pq_sql(m=4, k=8, dim=64),
         "ann_pq_adc": _pq_adc_sql(m=4, k=8, dim=64,

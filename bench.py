@@ -125,6 +125,18 @@ EXTRAS = [
     "ann_pq_adc",
     "conv_task_outcome",
     "conv_boilerplate",
+    "conv_branch_points",
+    "conv_preference_pairs",
+    "conv_structure",
+    "conv_sft_examples",
+    "conv_exact_dups",
+    "conv_near_dups",
+    "conv_loops",
+    "conv_cohesion",
+    "tool_usage_stats",
+    "tool_transitions",
+    "turn_latency",
+    "tool_error_streaks",
 ]
 
 

@@ -134,3 +134,176 @@ def test_boilerplate_turns_detects_cross_conv_templates(spark):
     # whitespace-normalized surface, all 4 conversations counted
     assert r["text"] == "you are a helpful assistant."
     assert r["n_convs"] == 4 and r["n_occurrences"] == 4
+
+
+def test_branch_points_finds_shared_prefix_forks(spark):
+    from waka_spark.operators.transcripts import branch_points
+
+    rows = [
+        # c1 and c2 share turns 0-1, diverge at turn 2
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi there"),
+        ("c1", 2, "user", "variant A"),
+        ("c2", 0, "user", "Hello "),           # normalizes equal
+        ("c2", 1, "assistant", "hi  there"),
+        ("c2", 2, "user", "variant B"),
+        # c3 shares only turn 0 with nobody (different text)
+        ("c3", 0, "user", "unrelated"),
+    ]
+    got = branch_points(_tr(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # fork is AFTER the shared prefix of turns 0..1
+    assert r["turn_idx"] == 1
+    assert r["n_convs"] == 2 and r["n_variants"] == 2
+
+
+def test_response_variants_pairs_divergent_assistant_turns(spark):
+    from waka_spark.operators.transcripts import response_variants
+
+    rows = [
+        ("c1", 0, "user", "same question"),
+        ("c1", 1, "assistant", "answer one"),
+        ("c2", 0, "user", "same question"),
+        ("c2", 1, "assistant", "answer two"),
+        ("c3", 0, "user", "same question"),
+        ("c3", 1, "assistant", "answer one"),   # dup of c1's — 2 variants
+    ]
+    got = response_variants(_tr(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["branch_turn"] == 0
+    assert r["n_convs"] == 3 and r["n_variants"] == 2
+    assert {r["variant_a"], r["variant_b"]} == {"answer one", "answer two"}
+
+
+def test_structure_check_flags(spark):
+    from waka_spark.operators.transcripts import structure_check
+
+    rows = [
+        # valid conversation
+        ("ok", 0, "user", "q"),
+        ("ok", 1, "assistant", "a"),
+        # gap (no turn 1), starts with assistant, empty turn, role repeat
+        ("bad", 0, "assistant", "a"),
+        ("bad", 2, "assistant", "  "),
+    ]
+    got = {r["conv_id"]: r for r in
+           structure_check(_tr(spark, rows)).collect()}
+    assert got["ok"]["valid"] is True
+    b = got["bad"]
+    assert b["starts_with_user"] is False
+    assert b["n_gaps"] == 1
+    assert b["n_role_repeats"] == 1
+    assert b["n_empty_turns"] == 1
+    assert b["valid"] is False
+
+
+def test_conv_exact_dups_collapses_identical_conversations(spark):
+    from waka_spark.operators.transcripts import conv_exact_dups
+
+    rows = [
+        ("a", 0, "user", "hello"),
+        ("a", 1, "assistant", "world"),
+        ("b", 0, "user", "Hello "),       # normalizes equal to a
+        ("b", 1, "assistant", "world"),
+        ("c", 0, "user", "world"),        # same SET, different ORDER
+        ("c", 1, "assistant", "hello"),
+        ("d", 0, "user", "unique"),
+    ]
+    got = {r["conv_id"]: r for r in
+           conv_exact_dups(_tr(spark, rows)).collect()}
+    assert got["a"]["canonical_conv_id"] == "a" and not got["a"]["is_dup"]
+    assert got["b"]["canonical_conv_id"] == "a" and got["b"]["is_dup"]
+    assert got["a"]["group_size"] == 2
+    # order matters: c is NOT a dup of a/b
+    assert got["c"]["canonical_conv_id"] == "c" and not got["c"]["is_dup"]
+    assert got["d"]["group_size"] == 1
+
+
+def test_conv_near_dups_finds_high_jaccard_pairs(spark):
+    from waka_spark.operators.transcripts import conv_near_dups
+
+    base = [(f"t{i}", f"turn text number {i}") for i in range(10)]
+    rows = [("a", i, "user", txt) for i, (_, txt) in enumerate(base)]
+    # b: shares 9 of 10 turns with a (jaccard 9/11 = 0.818)
+    rows += [("b", i, "user", txt if i != 5 else "regenerated")
+             for i, (_, txt) in enumerate(base)]
+    # c: disjoint
+    rows += [("c", i, "user", f"other {i}") for i in range(10)]
+    got = conv_near_dups(_tr(spark, rows), threshold=0.7).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["conv_a"], r["conv_b"]) == ("a", "b")
+    assert r["n_common"] == 9
+    assert r["jaccard"] == round(9 / 11, 6)
+
+
+def test_conv_near_dups_bucket_cap_drops_hot_buckets(spark):
+    from waka_spark.operators.transcripts import conv_near_dups
+
+    # 6 single-turn conversations all sharing the SAME text: every band
+    # bucket holds all 6 convs. Cap 5 → all buckets dropped → no pairs.
+    rows = [(f"c{i}", 0, "user", "identical boilerplate") for i in range(6)]
+    assert conv_near_dups(
+        _tr(spark, rows), max_bucket_size=5).count() == 0
+    # with a big-enough cap the 15 pairs surface (jaccard 1.0)
+    assert conv_near_dups(
+        _tr(spark, rows), max_bucket_size=6).count() == 15
+
+
+def test_assistant_loops_flags_within_conv_repeats(spark):
+    from waka_spark.operators.transcripts import assistant_loops
+
+    rows = [
+        ("c1", 0, "user", "go"),
+        ("c1", 1, "assistant", "I'll try again."),
+        ("c1", 2, "assistant", "i'll  try again. "),  # normalizes equal
+        ("c1", 3, "assistant", "done"),
+        # same text across DIFFERENT convs is not a loop
+        ("c2", 0, "assistant", "I'll try again."),
+    ]
+    got = assistant_loops(_tr(spark, rows), min_repeats=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["conv_id"] == "c1" and r["n_repeats"] == 2
+    assert r["first_turn"] == 1 and r["last_turn"] == 2
+    assert r["text"] == "i'll try again."
+
+
+def test_turn_cohesion_marks_topic_boundaries(spark):
+    from waka_spark.operators.transcripts import turn_cohesion
+
+    rows = [
+        ("c", 0, "user", "the cat sat"),
+        ("c", 1, "assistant", "the cat ran"),   # jaccard 2/4 = 0.5
+        ("c", 2, "user", "stocks fell today"),  # jaccard 0 → boundary
+    ]
+    got = {r["turn_idx"]: r for r in
+           turn_cohesion(_tr(spark, rows), 0.1).collect()}
+    assert got[0]["cohesion"] is None and got[0]["is_boundary"] is False
+    assert got[1]["cohesion"] == 0.5 and got[1]["is_boundary"] is False
+    assert got[2]["cohesion"] == 0.0 and got[2]["is_boundary"] is True
+    assert got[2]["n_tokens"] == 3
+
+
+def test_sft_examples_pairs_each_assistant_with_last_user(spark):
+    from waka_spark.operators.transcripts import sft_examples
+
+    rows = [
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "tool", "t"),
+        ("c1", 3, "assistant", "a2"),    # still paired with q1
+        ("c1", 4, "user", "q2"),
+        ("c1", 5, "assistant", "a3"),
+        ("c2", 0, "assistant", "orphan"),  # no preceding user
+    ]
+    got = {(r["conv_id"], r["turn_idx"]): r for r in
+           sft_examples(_tr(spark, rows)).collect()}
+    assert len(got) == 4
+    assert got[("c1", 1)]["prompt_text"] == "q1"
+    assert got[("c1", 3)]["prompt_text"] == "q1"
+    assert got[("c1", 3)]["prompt_turn"] == 0
+    assert got[("c1", 5)]["prompt_text"] == "q2"
+    assert got[("c2", 0)]["prompt_text"] is None

@@ -131,6 +131,472 @@ def task_outcome_pairs(
     )
 
 
+def _norm_text(text_col: str):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def _with_prefix_state(
+    transcripts: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared machinery for branch detection: per turn, the md5 of the
+    normalized text, the md5 of the whole conversation PREFIX up to and
+    including this turn (chain of per-turn hashes, so the running state
+    is 32 bytes per turn, never the raw text), and the next turn's
+    hash/normalized-text/role via ``lead``.
+
+    ONE shuffle keyed by conv_id; both windows (running collect + lead)
+    share the same partitioning/ordering so Spark plans a single sort.
+    Per-conversation cost is O(L^2) in 32-byte hash copies (the growing
+    collect_list frame) — bounded by conversation length, not text size;
+    a 1000-turn conversation carries ~32 KB of running state.
+    """
+    w_run = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy(conv_col).orderBy(F.col(turn_col))
+    norm = _norm_text(text_col)
+    return (
+        transcripts.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            F.md5(norm).alias("turn_hash"),
+            norm.alias("norm_text"),
+        )
+        .withColumn(
+            "prefix_hash",
+            F.md5(F.concat_ws("", F.collect_list("turn_hash").over(w_run))),
+        )
+        .withColumn("next_hash", F.lead("turn_hash").over(w_lead))
+        .withColumn("next_norm", F.lead("norm_text").over(w_lead))
+        .withColumn("next_role", F.lead("role").over(w_lead))
+    )
+
+
+def branch_points(
+    transcripts: DataFrame,
+    min_convs: int = 2,
+    min_variants: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regeneration/branch detection: turn positions where >=``min_convs``
+    conversations share an IDENTICAL prefix (turns 0..t, compared on
+    normalized text) and then diverge into >=``min_variants`` distinct
+    next turns. These are retry/regenerate/A-B forks — exactly the
+    structure preference-pair mining wants and naive per-conversation
+    dedup destroys (each fork is a near-dup of its siblings).
+
+    Prefix identity travels as a chained md5 (32 bytes), so the
+    group-by shuffle never carries conversation text. One window pass +
+    one hash agg keyed by (turn_idx, prefix_hash) — prefix hashes are
+    unique per content, so the agg key count is ~total turns and no key
+    is hotter than the fork fan-out itself.
+
+    Output: (turn_idx, prefix_hash, n_convs, n_variants) for flagged
+    fork points; conversation ends (no next turn) don't count as
+    variants.
+    """
+    state = _with_prefix_state(
+        transcripts, conv_col, turn_col, role_col, text_col)
+    return (
+        state.groupBy("turn_idx", "prefix_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.countDistinct("next_hash").cast("long").alias("n_variants"),
+        )
+        .filter(
+            (F.col("n_convs") >= min_convs)
+            & (F.col("n_variants") >= min_variants)
+        )
+    )
+
+
+def response_variants(
+    transcripts: DataFrame,
+    variant_role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Preference-pair construction from conversation forks: where
+    conversations share a prefix and the NEXT turn is a ``variant_role``
+    turn with >=2 distinct texts, emit the two extreme variants — the
+    (same-context, different-response) raw material for reward-model /
+    DPO pair labeling.
+
+    Same single-shuffle prefix machinery as ``branch_points``; variants
+    are ordered by their md5 (engine-portable, no locale-dependent text
+    collation), with ``min_by``/``max_by`` carrying the normalized text.
+
+    Output: (branch_turn, prefix_hash, n_convs, n_variants, variant_a,
+    variant_b).
+    """
+    state = _with_prefix_state(
+        transcripts, conv_col, turn_col, role_col, text_col)
+    forks = state.filter(
+        (F.col("next_role") == variant_role)
+        & F.col("next_hash").isNotNull()
+    )
+    return (
+        forks.groupBy(
+            F.col("turn_idx").alias("branch_turn"), "prefix_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.countDistinct("next_hash").cast("long").alias("n_variants"),
+            F.min_by("next_norm", "next_hash").alias("variant_a"),
+            F.max_by("next_norm", "next_hash").alias("variant_b"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
+
+
+def structure_check(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation structural validation — the transcript analog of
+    a schema/expectations gate, run before any turn-level op trusts the
+    (conv_id, turn_idx, role) spine: does the conversation start with a
+    user turn, end with an assistant turn, have contiguous turn indices,
+    no adjacent same-role turns, no empty turns?
+
+    One ``lag`` window + one hash agg on the SAME conv_id key — Spark
+    reuses the window's exchange for the agg, so the corpus shuffles
+    once. Output: (conv_id, n_turns, starts_with_user,
+    ends_with_assistant, n_gaps, n_role_repeats, n_empty_turns, valid).
+    """
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col))
+    lagged = transcripts.withColumn(
+        "_prev_role", F.lag(F.col(role_col)).over(w))
+    agg = lagged.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        (F.min_by(F.col(role_col), F.col(turn_col)) == "user").alias(
+            "starts_with_user"),
+        (F.max_by(F.col(role_col), F.col(turn_col)) == "assistant").alias(
+            "ends_with_assistant"),
+        (F.max(turn_col) - F.min(turn_col) + 1 - F.count("*"))
+        .cast("long").alias("n_gaps"),
+        F.sum(
+            F.when(F.col("_prev_role") == F.col(role_col), 1).otherwise(0)
+        ).cast("long").alias("n_role_repeats"),
+        F.sum(
+            F.when(_norm_text(text_col) == "", 1).otherwise(0)
+        ).cast("long").alias("n_empty_turns"),
+    )
+    return agg.withColumn(
+        "valid",
+        F.col("starts_with_user")
+        & (F.col("n_gaps") == 0)
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_empty_turns") == 0),
+    )
+
+
+def sft_examples(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Per-response SFT example extraction: every ``response_role`` turn
+    paired with the most recent preceding ``prompt_role`` turn — the
+    every-assistant-turn generalization of ``task_outcome_pairs`` (which
+    keeps only first-user/last-assistant), and the row shape supervised
+    fine-tuning actually consumes.
+
+    One running ``last(..., ignorenulls=True)`` window per conversation
+    (single shuffle, no self-join); responses with no preceding prompt
+    emit NULL for callers to route to repair.
+
+    Output: (conv_id, turn_idx, prompt_turn, prompt_text, response_text).
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_prompt = F.col(role_col) == prompt_role
+    ctx = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("response_text"),
+        F.last(F.when(is_prompt, F.col(turn_col)), ignorenulls=True)
+        .over(w).alias("prompt_turn"),
+        F.last(F.when(is_prompt, F.col(text_col)), ignorenulls=True)
+        .over(w).alias("prompt_text"),
+    )
+    return ctx.filter(F.col("role") == response_role).select(
+        "conv_id", "turn_idx", "prompt_turn", "prompt_text", "response_text")
+
+
+def conv_exact_dups(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact whole-conversation dedup: conversations whose ORDERED turn
+    texts are identical (after whitespace normalization) collapse to one
+    canonical id — re-uploaded sessions, retried batch jobs, and mirror
+    scrapes all produce these, and turn-level dedup can't see them.
+
+    Identity is the md5 of the ordered turn-hash concatenation (the
+    same 32-bytes-per-turn state as ``branch_points``; the shuffle never
+    carries text). One agg keyed by conv_id (sorted turn hashes via
+    ``array_sort`` over (turn_idx, hash) structs — no window), then one
+    window over the tiny conv-level frame picks the canonical (minimum)
+    conv_id per identity group.
+
+    Output: (conv_id, conv_hash, canonical_conv_id, group_size, is_dup)
+    — filter ``is_dup`` to drop, or keep all rows for audit.
+    """
+    per_turn = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.struct(
+            F.col(turn_col).cast("int").alias("turn_idx"),
+            F.md5(_norm_text(text_col)).alias("h"),
+        ).alias("_th"),
+    )
+    conv = per_turn.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("_th")), lambda s: s["h"]
+                ),
+            )
+        ).alias("conv_hash")
+    )
+    w = Window.partitionBy("conv_hash")
+    return (
+        conv.withColumn("canonical_conv_id", F.min("conv_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_dup", F.col("conv_id") != F.col("canonical_conv_id"))
+    )
+
+
+def conv_near_dups(
+    transcripts: DataFrame,
+    n_bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level near-dup pairs by turn-SET Jaccard: two
+    conversations sharing most normalized turns (a rerun with one
+    regenerated reply, a session replayed with a tweaked system prompt)
+    are near-dups even when no single document-level comparison sees
+    them. The unit of comparison is the conversation — the payload's
+    native grain — with each conversation reduced to its set of distinct
+    turn md5s.
+
+    Scale shape mirrors ``dedup.minhash_signatures``: r=1, b=``n_bands``
+    MinHash built from 32-bit slices of a double-md5 per distinct turn
+    (two digests total per turn), all bands folded in ONE hash agg keyed
+    by conv_id (8 ``min`` columns — no per-band explode before the agg,
+    so the corpus shuffles once); candidate pairs come from an equi-join
+    on (band, sig) buckets — never all-pairs — and are verified with an
+    exact Jaccard count over the candidates only.
+
+    Skew guard: a boilerplate turn shared corpus-wide (a system prompt,
+    a greeting) whose hash happens to be a conversation-set minimum
+    would put every such conversation in ONE bucket and the self-join
+    quadratic in it; buckets larger than ``max_bucket_size`` are dropped
+    before the join (same guard as ``dedup.minhash_lsh_pairs`` /
+    ``ann.lsh_bucket_ann``) — a dropped bucket's pairs can still surface
+    through the other ``n_bands - 1`` bands.
+
+    Output: (conv_a, conv_b, n_common, jaccard), jaccard >= threshold.
+    """
+    assert n_bands <= 8, "widen the digest chain for more than 8 bands"
+    norm = _norm_text(text_col)
+    turns = (
+        transcripts.select(
+            F.col(conv_col).alias("conv_id"),
+            F.concat(
+                F.md5(norm), F.md5(F.concat(F.lit("#"), norm))
+            ).alias("_hex"),
+        )
+        .distinct()
+    )
+    sizes_and_sigs = turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        *[
+            F.min(F.substring("_hex", b * 8 + 1, 8)).alias(f"_s{b}")
+            for b in range(n_bands)
+        ],
+    )
+    sigs = sizes_and_sigs.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"_s{b}").alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("conv_id", "_bs.band", "_bs.sig")
+    small_buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .select("band", "sig")
+    )
+    bounded = sigs.join(small_buckets, ["band", "sig"])
+    cand = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), ["band", "sig"])
+        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_a"),
+            F.col("b.conv_id").alias("conv_b"),
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(turns.alias("ta"), F.col("conv_a") == F.col("ta.conv_id"))
+        .join(
+            turns.alias("tb"),
+            (F.col("conv_b") == F.col("tb.conv_id"))
+            & (F.col("ta._hex") == F.col("tb._hex")),
+        )
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sizes = sizes_and_sigs.select("conv_id", "n_turns")
+    return (
+        common.join(
+            sizes.withColumnRenamed("conv_id", "conv_a")
+            .withColumnRenamed("n_turns", "_na"), "conv_a")
+        .join(
+            sizes.withColumnRenamed("conv_id", "conv_b")
+            .withColumnRenamed("n_turns", "_nb"), "conv_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("conv_a", "conv_b", "n_common", "jaccard")
+    )
+
+
+def assistant_loops(
+    transcripts: DataFrame,
+    min_repeats: int = 2,
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Agent loop detection: the SAME normalized ``role`` text emitted
+    >= ``min_repeats`` times within ONE conversation — the stuck-agent
+    signature (retry loops, apology loops, repeated tool banners) that
+    poisons SFT data if trained on verbatim. Distinct from
+    ``boilerplate_turns``, which finds text repeated ACROSS
+    conversations; a loop is repetition WITHIN one.
+
+    ONE hash agg keyed by (conv_id, text md5) — map-side partial
+    combine, shuffle carries 32-byte hashes plus one arbitrary text
+    sample via ``min_by`` (the normalized text, for audit).
+
+    Output: (conv_id, text_hash, text, n_repeats, first_turn,
+    last_turn).
+    """
+    norm = _norm_text(text_col)
+    return (
+        transcripts.filter(F.col(role_col) == role)
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.md5(norm).alias("text_hash"),
+            norm.alias("_norm"),
+        )
+        .groupBy("conv_id", "text_hash")
+        .agg(
+            F.min_by("_norm", "turn_idx").alias("text"),
+            F.count("*").cast("long").alias("n_repeats"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .filter(F.col("n_repeats") >= min_repeats)
+    )
+
+
+def turn_cohesion(
+    transcripts: DataFrame,
+    boundary_threshold: float = 0.1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-turn lexical cohesion — TextTiling's core signal over
+    transcript turns: per turn, the Jaccard overlap between this turn's
+    and the previous turn's distinct-token sets; a drop below
+    ``boundary_threshold`` marks a topic-segment boundary, the unit for
+    splitting long multi-topic sessions into trainable chunks.
+
+    Token sets stay IN-ROW (arrays via ``split``/``array_distinct``;
+    intersect/union are narrow array ops) — the only exchange is the
+    single conv_id window shuffle for ``lag``. No UDF, no self-join.
+
+    Output: (conv_id, turn_idx, n_tokens, cohesion, is_boundary);
+    cohesion is NULL on each conversation's first turn (and when both
+    neighbor token sets are empty), which never flags a boundary.
+    """
+    norm = _norm_text(text_col)
+    toks = F.array_distinct(
+        F.filter(F.split(norm, " "), lambda w: w != ""))
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col))
+    cur_prev = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        toks.alias("_toks"),
+    ).withColumn("_prev", F.lag("_toks").over(w))
+    n_union = F.size(F.array_union("_toks", "_prev"))
+    cohesion = F.when(
+        F.col("_prev").isNotNull() & (n_union > 0),
+        F.round(F.size(F.array_intersect("_toks", "_prev")) / n_union, 6),
+    )
+    return (
+        cur_prev.withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn("cohesion", cohesion)
+        .withColumn(
+            "is_boundary",
+            F.coalesce(
+                F.col("cohesion") < boundary_threshold, F.lit(False)),
+        )
+        .select("conv_id", "turn_idx", "n_tokens", "cohesion",
+                "is_boundary")
+    )
+
+
 def boilerplate_turns(
     transcripts: DataFrame,
     min_convs: int = 3,
