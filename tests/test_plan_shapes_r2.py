@@ -110,3 +110,76 @@ def test_hard_negatives_broadcasts_queries(spark):
     plan = _plan(hard_negatives(emb, q, k=2))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _transcripts(spark, n=12):
+    rows = [("c%d" % (i % 3), i // 3, "user" if i % 2 else "assistant",
+             "turn text %d" % i) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_branch_points_windows_share_one_sort(spark):
+    """The running prefix-hash window and the lead() window must share
+    partitioning AND ordering: one Sort in the whole plan, no joins."""
+    from waka_spark.operators.transcripts import branch_points
+
+    plan = _plan(branch_points(_transcripts(spark)))
+    assert plan.count("Sort [") == 1
+    assert "Join" not in plan
+
+
+def test_sft_examples_is_one_window_pass(spark):
+    """Prompt attachment is a single running window — exactly one
+    exchange, no self-join back onto the transcript."""
+    from waka_spark.operators.transcripts import sft_examples
+
+    plan = _plan(sft_examples(_transcripts(spark)))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_conv_exact_dups_no_joins(spark):
+    """Identity agg + canonical window only: the conversation corpus is
+    never joined against itself."""
+    from waka_spark.operators.transcripts import conv_exact_dups
+
+    plan = _plan(conv_exact_dups(_transcripts(spark)))
+    assert "Join" not in plan
+    assert plan.count("Sort [") == 1  # only the conv_hash window sorts
+
+
+def test_conv_near_dups_reuses_cached_hash_frames(spark):
+    """The turn-hash and signature frames each feed 2-3 consumers: both
+    must come from cache (InMemoryTableScan), never a corpus re-scan,
+    and candidate generation must be an equi-join (no nested loop)."""
+    from waka_spark.operators.transcripts import conv_near_dups
+
+    plan = _plan(conv_near_dups(_transcripts(spark)))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tool_usage_stats_single_window_single_agg(spark):
+    """Latency lag + per-tool agg: two exchanges (conv window, tool
+    agg), no joins, no extra sorts."""
+    from waka_spark.operators.tools import tool_usage_stats
+
+    rows = [("c", i, "tool", "ok", "search", None) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    plan = _plan(tool_usage_stats(df))
+    assert "Join" not in plan
+    assert plan.count("Sort [") == 1
+
+
+def test_turn_cohesion_token_sets_stay_in_row(spark):
+    """Cohesion is one lag window over in-row token arrays: a single
+    exchange, no explode of the token stream."""
+    from waka_spark.operators.transcripts import turn_cohesion
+
+    plan = _plan(turn_cohesion(_transcripts(spark)))
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan  # no explode

@@ -428,6 +428,10 @@ def conv_near_dups(
     """
     assert n_bands <= 8, "widen the digest chain for more than 8 bands"
     norm = _norm_text(text_col)
+    # turns feeds the signature agg AND both sides of the verification
+    # join; sizes_and_sigs feeds the bucket join and the size lookups —
+    # persist both (conv/turn-level hash frames, tiny next to the
+    # corpus) so no consumer replays the corpus scan + md5 pass.
     turns = (
         transcripts.select(
             F.col(conv_col).alias("conv_id"),
@@ -436,6 +440,7 @@ def conv_near_dups(
             ).alias("_hex"),
         )
         .distinct()
+        .persist()
     )
     sizes_and_sigs = turns.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n_turns"),
@@ -443,7 +448,7 @@ def conv_near_dups(
             F.min(F.substring("_hex", b * 8 + 1, 8)).alias(f"_s{b}")
             for b in range(n_bands)
         ],
-    )
+    ).persist()
     sigs = sizes_and_sigs.select(
         "conv_id",
         F.explode(
