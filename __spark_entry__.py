@@ -2407,6 +2407,28 @@ def q_conv_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _role_transcripts(spark, sf_dir), boundary_threshold=0.1)
 
 
+def q_conv_prepare_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship transcript curation composition (operators/transcripts.py
+    prepare_sft): three injected defect classes — dropped opening turns
+    (conv%7==2 → invalid structure), verbatim conversation copies
+    (conv%3==0 → exact dups), repeated assistant turns (conv%5==1 →
+    loops) — must all be gated out before SFT pair extraction."""
+    from waka_spark.operators.transcripts import prepare_sft
+
+    t = _role_transcripts(spark, sf_dir)
+    c = F.col("conv_id").cast("int")
+    t2 = t.filter(~((c % 7 == 2) & (F.col("turn_idx") == 0))).withColumn(
+        "text",
+        F.when(
+            (c % 5 == 1) & F.col("turn_idx").isin(4, 7),
+            F.lit("let me try again."),
+        ).otherwise(F.col("text")),
+    )
+    copies = t2.filter(c % 3 == 0).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_x")))
+    return prepare_sft(t2.unionByName(copies), min_loop_repeats=2)
+
+
 def q_curation_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest contract validation (operators/curation.py
     quality_expectations): five row-level rules evaluated in ONE corpus
@@ -2601,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dups": q_conv_near_dups,
         "conv_loops": q_conv_loops,
         "conv_cohesion": q_conv_cohesion,
+        "conv_prepare_sft": q_conv_prepare_sft,
         "tool_usage_stats": q_tool_usage_stats,
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
@@ -6022,6 +6045,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, n_tokens, cohesion,
                    coalesce(cohesion < 0.1, false) AS is_boundary
             FROM c
+        """,
+        "conv_prepare_sft": f"""
+            WITH base AS (
+              SELECT {_CONV} AS conv_id,
+                     CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     text
+              FROM documents
+            ),
+            t2 AS (
+              SELECT conv_id, turn_idx, role,
+                     CASE WHEN CAST(conv_id AS INT) % 5 = 1
+                           AND turn_idx IN (4, 7)
+                          THEN 'let me try again.' ELSE text END AS text
+              FROM base
+              WHERE NOT (CAST(conv_id AS INT) % 7 = 2 AND turn_idx = 0)
+            ),
+            tr AS (
+              SELECT * FROM t2
+              UNION ALL
+              SELECT conv_id || '_x', turn_idx, role, text FROM t2
+              WHERE CAST(conv_id AS INT) % 3 = 0
+            ),
+            n AS (
+              SELECT conv_id, turn_idx, role, text,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS norm,
+                     lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                     ) AS prev_role
+              FROM tr
+            ),
+            ok AS (
+              SELECT conv_id FROM n GROUP BY conv_id
+              HAVING arg_min(role, turn_idx) = 'user'
+                 AND max(turn_idx) - min(turn_idx) + 1 - count(*) = 0
+                 AND sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                       = 0
+                 AND sum(CASE WHEN norm = '' THEN 1 ELSE 0 END) = 0
+            ),
+            ch AS (
+              SELECT conv_id,
+                     md5(string_agg(md5(norm), '' ORDER BY turn_idx))
+                       AS h
+              FROM n GROUP BY conv_id
+            ),
+            canon AS (
+              SELECT conv_id FROM (
+                SELECT conv_id,
+                       conv_id = min(conv_id) OVER (PARTITION BY h)
+                         AS keep
+                FROM ch
+              ) WHERE keep
+            ),
+            loopy AS (
+              SELECT DISTINCT conv_id FROM n
+              WHERE role = 'assistant'
+              GROUP BY conv_id, md5(norm) HAVING count(*) >= 2
+            ),
+            kept AS (
+              SELECT tr.* FROM tr
+              JOIN ok USING (conv_id)
+              JOIN canon USING (conv_id)
+              WHERE conv_id NOT IN (SELECT conv_id FROM loopy)
+            ),
+            ctx AS (
+              SELECT conv_id, turn_idx, role, text AS response_text,
+                     last_value(CASE WHEN role = 'user' THEN turn_idx END
+                                IGNORE NULLS) OVER w AS prompt_turn,
+                     last_value(CASE WHEN role = 'user' THEN text END
+                                IGNORE NULLS) OVER w AS prompt_text
+              FROM kept
+              WINDOW w AS (
+                PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT conv_id, turn_idx, prompt_turn, prompt_text,
+                   response_text
+            FROM ctx
+            WHERE role = 'assistant' AND prompt_text IS NOT NULL
         """,
         "tool_usage_stats": f"""
             WITH t AS ({_TOOLTR}),

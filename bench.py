@@ -133,6 +133,7 @@ EXTRAS = [
     "conv_near_dups",
     "conv_loops",
     "conv_cohesion",
+    "conv_prepare_sft",
     "tool_usage_stats",
     "tool_transitions",
     "turn_latency",

@@ -287,6 +287,33 @@ def test_turn_cohesion_marks_topic_boundaries(spark):
     assert got[2]["n_tokens"] == 3
 
 
+def test_prepare_sft_gates_then_extracts(spark):
+    from waka_spark.operators.transcripts import prepare_sft
+
+    rows = [
+        # good: survives all gates → 1 pair
+        ("good", 0, "user", "question"),
+        ("good", 1, "assistant", "answer"),
+        # dup of good (normalizes equal): dropped, good is canonical
+        ("gooddup", 0, "user", "Question "),
+        ("gooddup", 1, "assistant", "answer"),
+        # loopy: valid structure but repeated assistant turn
+        ("loopy", 0, "user", "q"),
+        ("loopy", 1, "assistant", "same"),
+        ("loopy", 2, "user", "again?"),
+        ("loopy", 3, "assistant", "same"),
+        # broken: starts with assistant
+        ("broken", 0, "assistant", "hi"),
+        ("broken", 1, "user", "q"),
+        ("broken", 2, "assistant", "a"),
+    ]
+    got = prepare_sft(_tr(spark, rows), min_loop_repeats=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["conv_id"] == "good"
+    assert r["prompt_text"] == "question" and r["response_text"] == "answer"
+
+
 def test_sft_examples_pairs_each_assistant_with_last_user(spark):
     from waka_spark.operators.transcripts import sft_examples
 

@@ -602,6 +602,72 @@ def turn_cohesion(
     )
 
 
+def prepare_sft(
+    transcripts: DataFrame,
+    min_loop_repeats: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end SFT data preparation over raw transcripts — the
+    composition a training-data user actually runs: (1) drop
+    structurally broken conversations (``structure_check``: gaps, role
+    repeats, empty turns, wrong opening role), (2) drop exact duplicate
+    conversations keeping the canonical copy (``conv_exact_dups``),
+    (3) drop conversations containing stuck-agent loops
+    (``assistant_loops``), then (4) extract one (prompt, response) row
+    per assistant turn (``sft_examples``), dropping orphan responses.
+
+    Scale shape: the three gates are each one aggregation pass keyed by
+    conv_id producing TINY conv-level frames (persisted); the corpus
+    itself is scanned once per gate plus once for the final extraction —
+    scan-bound, stateless, no driver collection. The gate joins are
+    equi-joins on conv_id (two semi + one anti), the same key as the
+    extraction window, so AQE coalesces them into the existing conv_id
+    partitioning.
+
+    Output: (conv_id, turn_idx, prompt_turn, prompt_text,
+    response_text) for every surviving assistant turn with a prompt.
+    """
+    cols = {
+        "conv_col": conv_col, "turn_col": turn_col,
+        "role_col": role_col, "text_col": text_col,
+    }
+    # the gate frames derive from `transcripts` itself, so their conv_id
+    # attributes alias the left side's — rename each to a fresh name to
+    # keep the join conditions unambiguous
+    ok = (
+        structure_check(transcripts, **cols)
+        .filter(F.col("valid"))
+        .select(F.col("conv_id").alias("_ok_conv"))
+        .persist()
+    )
+    canon = (
+        conv_exact_dups(
+            transcripts, conv_col=conv_col, turn_col=turn_col,
+            text_col=text_col)
+        .filter(~F.col("is_dup"))
+        .select(F.col("conv_id").alias("_canon_conv"))
+        .persist()
+    )
+    loopy = (
+        assistant_loops(
+            transcripts, min_repeats=min_loop_repeats, **cols)
+        .select(F.col("conv_id").alias("_loop_conv"))
+        .distinct()
+        .persist()
+    )
+    kept = (
+        transcripts.join(
+            ok, F.col(conv_col) == F.col("_ok_conv"), "left_semi")
+        .join(canon, F.col(conv_col) == F.col("_canon_conv"), "left_semi")
+        .join(loopy, F.col(conv_col) == F.col("_loop_conv"), "left_anti")
+    )
+    return sft_examples(kept, **cols).filter(
+        F.col("prompt_text").isNotNull())
+
+
 def boilerplate_turns(
     transcripts: DataFrame,
     min_convs: int = 3,
