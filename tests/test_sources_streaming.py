@@ -298,3 +298,41 @@ def test_session_counts_batch_matches_sessionize_cut(spark):
         r.n_events for r in sessionize(events, gap_sec=1800.0).collect()
     )
     assert via_window == via_lag == [1, 2, 2]
+
+
+def test_iceberg_surface_falls_back_to_bucketed_parquet(spark, tmp_path):
+    """Sandbox has no Iceberg jars: availability probe must say so, the
+    session-conf helper must emit the catalog keys, and the read/write
+    pair must round-trip through the bucketed-parquet fallback with the
+    input-hint schema intact."""
+    from waka_spark.sources.iceberg import (
+        TRANSCRIPT_COLUMNS,
+        iceberg_available,
+        iceberg_session_conf,
+        read_transcripts,
+        write_transcripts,
+    )
+
+    assert iceberg_available(spark) is False
+    conf = iceberg_session_conf("/tmp/wh", catalog="c")
+    assert conf["spark.sql.catalog.c.warehouse"] == "/tmp/wh"
+    assert "extensions" in conf["spark.sql.extensions"]
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, None),
+         ("c1", 1, "assistant", "hello", None, None),
+         ("c2", 0, "user", "yo", "search", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    write_transcripts(df, "iceberg_fallback_t", n_buckets=4)
+    try:
+        back = read_transcripts(spark, "iceberg_fallback_t")
+        assert back.columns == TRANSCRIPT_COLUMNS
+        assert back.count() == 3
+        # bucketed layout: equality join on conv_id plans no Exchange
+        j = back.join(
+            spark.table("iceberg_fallback_t").groupBy("conv_id").count(),
+            "conv_id")
+        assert j.count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS iceberg_fallback_t")
