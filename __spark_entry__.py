@@ -2058,6 +2058,17 @@ def q_tool_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_error_streaks(_tool_transcripts(spark, sf_dir), min_len=2)
 
 
+def q_stream_tool_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed per-tool error rates (streaming/ingest.py
+    streaming_tool_error_rates) run in batch mode — the SAME aggregation
+    the stream executes, which is what makes the DuckDB check meaningful
+    for the streaming path too."""
+    from waka_spark.streaming.ingest import streaming_tool_error_rates
+
+    return streaming_tool_error_rates(
+        _tool_transcripts(spark, sf_dir), window="10 minutes")
+
+
 def q_conv_context_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted context-window selection (operators/transcripts.py
     context_tail, budget 200): newest-first suffix of each conversation
@@ -2628,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
         "tool_error_streaks": q_tool_error_streaks,
+        "stream_tool_errors": q_stream_tool_errors,
     }
 
 
@@ -6207,6 +6219,23 @@ def oracle_sql() -> dict[str, str]:
                    max(turn_idx) AS end_turn,
                    CAST(count(*) AS BIGINT) AS streak_len
             FROM e GROUP BY conv_id, island HAVING count(*) >= 2
+        """,
+        "stream_tool_errors": f"""
+            WITH t AS ({_TOOLTR}),
+            c AS (
+              SELECT *,
+                     CASE WHEN regexp_replace(lower(trim(text)), '\\s+',
+                                              ' ', 'g') LIKE 'error%'
+                          THEN 1 ELSE 0 END AS is_err
+              FROM t WHERE role = 'tool' AND tool IS NOT NULL
+            )
+            SELECT make_timestamp((ts_s // 600 * 600) * 1000000)
+                     AS window_start,
+                   tool,
+                   CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(sum(is_err) AS BIGINT) AS n_errors,
+                   round(sum(is_err) / count(*), 6) AS error_rate
+            FROM c GROUP BY 1, 2
         """,
         "ann_pq": _pq_sql(m=4, k=8, dim=64),
         "ann_pq_adc": _pq_adc_sql(m=4, k=8, dim=64,

@@ -134,6 +134,7 @@ EXTRAS = [
     "conv_loops",
     "conv_cohesion",
     "conv_prepare_sft",
+    "stream_tool_errors",
     "tool_usage_stats",
     "tool_transitions",
     "turn_latency",

@@ -336,3 +336,43 @@ def test_iceberg_surface_falls_back_to_bucketed_parquet(spark, tmp_path):
         assert j.count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS iceberg_fallback_t")
+
+
+def test_streaming_tool_error_rates(spark, tmp_path):
+    """Per-tool windowed error rates over a real file stream, using the
+    batch error predicate."""
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import (
+        stream_transcripts,
+        streaming_tool_error_rates,
+    )
+
+    in_dir = tmp_path / "turns3"
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("c1", 0, "tool", "ok", "search", ts0),
+        ("c1", 1, "tool", "Error: 500", "search", ts0),
+        ("c1", 2, "tool", "ok", "browser", ts0),
+        ("c1", 3, "user", "error-shaped but not a tool turn", None, ts0),
+        # next window
+        ("c2", 0, "tool", "error again", "search",
+         ts0 + dt.timedelta(minutes=12)),
+    ]
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).write.parquet(str(in_dir))
+    rates = streaming_tool_error_rates(
+        stream_transcripts(spark, str(in_dir)), window="10 minutes")
+    q = (
+        rates.writeStream.format("memory").queryName("tool_err")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.window_start.minute, r.tool): (r.n_calls, r.n_errors,
+                                             r.error_rate)
+           for r in spark.sql("SELECT * FROM tool_err").collect()}
+    assert got == {
+        (0, "search"): (2, 1, 0.5),
+        (0, "browser"): (1, 0, 0.0),
+        (10, "search"): (1, 1, 1.0),
+    }

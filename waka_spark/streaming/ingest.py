@@ -80,6 +80,47 @@ def streaming_session_counts(
     )
 
 
+def streaming_tool_error_rates(
+    turns: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Live trajectory-health monitor: per (tool, tumbling window) call
+    and error counts over the turn stream — the first alarm when a tool
+    deployment starts failing and every in-flight agent session begins
+    retry-looping (the batch-side cleanup of those is
+    ``operators/tools.tool_error_streaks``).
+
+    Reuses the batch error predicate (``operators/tools._is_error``), so
+    stream and batch agree on what counts as a failure; works identically
+    on batch frames (how the oracle checks it). State is (tools ×
+    windows), evicted by the watermark — independent of stream length.
+    """
+    from waka_spark.operators.tools import _is_error
+
+    grouped = turns
+    if turns.isStreaming:
+        grouped = turns.withWatermark("ts", watermark)
+    return (
+        grouped.filter(
+            (F.col("role") == "tool") & F.col("tool").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.sum(F.when(_is_error("text"), 1).otherwise(0))
+            .cast("long").alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tool",
+            "n_calls",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_calls"), 6)
+            .alias("error_rate"),
+        )
+    )
+
+
 def incremental_mentions(turns: DataFrame, gazetteer) -> DataFrame:
     """Stateless NER over the stream: per-turn mention extraction using the
     identical batch operator (mapInPandas is streaming-safe)."""
