@@ -692,7 +692,9 @@ def semantic_dedup(
     Output: (vec_id, cell, is_dup) for every vector.
     """
     cents_df = kmeans_fit(embeddings, k, n_iters, id_col, vec_col)
-    assigned = kmeans_assign(embeddings, cents_df, id_col, vec_col)
+    # assigned feeds three plan branches (both self-join sides + the final
+    # flag join) — persist, or each branch replays the k-means assign scan.
+    assigned = kmeans_assign(embeddings, cents_df, id_col, vec_col).persist()
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"),

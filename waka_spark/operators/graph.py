@@ -427,8 +427,12 @@ def random_walks(
     combinable; the argmin is ``min(struct(hash, dst))``, never a sort).
     ``length`` steps = ``length`` shuffles over frontier-sized data — the
     edge table is scanned per step but never re-shuffled once bucketed or
-    AQE-cached. Walks that reach a sink node (no out-edges) end early; on
-    symmetrized graphs every reached node has out-edges.
+    AQE-cached. Each frontier is persisted (one row per walk — tiny), so
+    the final union of per-step outputs replays no join chain: without
+    the persist, step s's branch would recompute frontiers 1..s-1 and the
+    total join count would be O(length²). Walks that reach a sink node
+    (no out-edges) end early; on symmetrized graphs every reached node
+    has out-edges.
 
     Output: (walk_id, step, node) — step 0 is the start node itself.
     """
@@ -455,7 +459,7 @@ def random_walks(
             .agg(F.min(F.struct(F.col("_h"), F.col("dst"))).alias("_m"))
             .select("walk_id", F.col("_m.dst").alias("cur"))
         )
-        frontier = hop
+        frontier = hop.persist()
         out = out.unionByName(frontier.select(
             "walk_id", F.lit(s).alias("step"), F.col("cur").alias("node")))
     return out

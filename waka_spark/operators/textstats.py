@@ -204,10 +204,16 @@ def bigram_logprob(
 
     Scale shape: bigrams are built narrowly inside the row (one
     ``transform`` over the word array — no self-join, no posexplode
-    alignment shuffle), then ONE explode feeds (a) the bigram-count
-    hash-agg keyed by (w1, w2), (b) the context-count agg keyed by w1
-    (both map-side-partial, absorbing Zipf heads), and (c) the scoring
-    side, which equi-joins both models back and re-aggregates by doc.
+    alignment shuffle), then ONE explode feeds ONE hash-agg keyed by
+    (doc_id, w1, w2) — per-doc bigram counts, the smallest frame that can
+    still answer everything downstream. That frame is persisted and reused
+    three ways: the bigram model c(w1,w2) and the context model c(w1·)
+    both roll up from it (never re-scanning the corpus), and the scoring
+    side equi-joins the two models back onto it — so the instance-level
+    token stream is shuffled exactly once, and every later shuffle moves
+    only *distinct* per-doc bigrams (bounded by vocabulary², in practice
+    ~n_tokens/2 under Zipf). The per-doc mean re-weights by the local
+    count n, which is exactly the instance-level average.
     """
     arr = F.filter(_words(F.col(text_col)), lambda w: w != "")
     pair_t = "array<struct<w1:string,w2:string>>"
@@ -221,20 +227,23 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.lit(None).cast(pair_t))
-    bg = (
+    doc_bg = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
-    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    model = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = -F.log(F.col("c12") / F.col("c1"))
     return (
-        bg.join(model, ["w1", "w2"])
+        doc_bg.join(model, ["w1", "w2"])
         .join(ctx, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias("n_bigrams"),
             F.round(
-                F.avg(-F.log(F.col("c12") / F.col("c1"))), 6
+                (F.sum(F.col("n") * nll) / F.sum("n")), 6
             ).alias("avg_nll"),
         )
     )
