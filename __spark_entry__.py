@@ -385,6 +385,46 @@ def q_kg_unionfind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization (plans/unionfind.py
+    incremental_components): standing component labels over the
+    customer→nation→region membership graph folded with a delta batch
+    (supplier arrivals + a 5% slice of order→customer edges) WITHOUT
+    re-running components over the whole graph — delta endpoints contract
+    to their current component, components run on the contracted
+    delta-sized graph, and the standing labels table is rewritten by ONE
+    broadcast hash join. Oracle = full-rebuild recursive-CTE closure over
+    base ∪ delta (the equality the operator guarantees)."""
+    from waka_spark.plans.unionfind import (
+        connected_components,
+        incremental_components,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+    )
+    labels = connected_components(c.unionByName(n))
+    return incremental_components(labels, s.unionByName(o)).select(
+        "node", "component")
+
+
 def q_kg_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P26 — set P/R/F1 via the eval-join operator (operators/evals.py)."""
     from waka_spark.operators.evals import eval_triples
@@ -2507,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_known_boost": q_kg_known_boost,
         "kg_conflict_p23": q_kg_conflict_p23,
         "kg_unionfind": q_kg_unionfind,
+        "kg_cc_incremental": q_kg_cc_incremental,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_eval_macro": q_kg_eval_macro,
         "kg_eval_per_conv": q_kg_eval_per_conv,
@@ -3347,6 +3388,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'n' || CAST(n_nationkey AS VARCHAR),
                      'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+            ),
+            sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+            )
+            SELECT node, min(comp) AS component FROM reach GROUP BY node
+        """,
+        "kg_cc_incremental": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) a,
+                     'n' || CAST(c_nationkey AS VARCHAR) b FROM customer
+              UNION ALL
+              SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                     'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                     'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION ALL
+              SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+                     'c' || CAST(o_custkey AS VARCHAR)
+              FROM orders WHERE o_orderkey % 20 = 0
             ),
             sym AS (
               SELECT a, b FROM edges UNION SELECT b, a FROM edges

@@ -139,6 +139,7 @@ EXTRAS = [
     "tool_transitions",
     "turn_latency",
     "tool_error_streaks",
+    "kg_cc_incremental",
 ]
 
 

@@ -25,6 +25,47 @@ def test_connected_components_chain(spark):
     assert set(comp.values()) == {"n0"}
 
 
+def test_incremental_components_matches_full_rebuild(spark):
+    """Delta fold-in == full rebuild, covering every merge shape: two old
+    components bridged, a new node joining an old component, a new-only
+    component, a no-op intra-component edge, and a new-node self-loop."""
+    from waka_spark.plans.unionfind import incremental_components
+
+    base = [("b", "a"), ("c", "b"), ("y", "x"), ("q", "p")]
+    delta = [
+        ("c", "x"),   # bridges {a,b,c} with {x,y} → min label "a"
+        ("z1", "p"),  # new node joins {p,q}
+        ("w1", "w2"),  # brand-new component
+        ("q", "p"),   # intra-component no-op
+        ("v9", "v9"),  # new-node self-loop → singleton
+    ]
+    edges = spark.createDataFrame(base, "src string, dst string")
+    d = spark.createDataFrame(delta, "src string, dst string")
+
+    labels = connected_components(edges)
+    inc = {r.node: r.component
+           for r in incremental_components(labels, d).collect()}
+    full = {r.node: r.component
+            for r in connected_components(edges.unionByName(d)).collect()}
+    # full rebuild drops the v9 self-loop singleton; incremental keeps it
+    # as its own component (callers coalesce either way)
+    assert inc.pop("v9") == "v9"
+    assert inc == full
+
+
+def test_incremental_components_relabel_is_broadcast(spark):
+    """The pass over the standing labels table must be a broadcast hash
+    join on the delta-sized mapping — never a shuffle of the big side."""
+    from waka_spark.plans.unionfind import incremental_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string")
+    d = spark.createDataFrame([("n0", "m0")], "src string, dst string")
+    out = incremental_components(connected_components(edges), d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_canonicalize_graph_rewrites_and_dedups(spark):
     triples = spark.createDataFrame(
         [

@@ -103,6 +103,82 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fold a delta edge batch into standing component labels WITHOUT
+    re-running connected components over the whole graph.
+
+    ``labels(node, component)`` is a previous :func:`connected_components`
+    output (component = min node id of the component — the invariant this
+    function preserves). Result equals a full rebuild over
+    ``edges(labels) ∪ delta_edges``.
+
+    Scale shape (the point at 10^12 turns / 10^9 nodes): the standing graph
+    never reshuffles. Delta endpoints are CONTRACTED to their current
+    component id (two joins against ``labels``, each delta-sized probes),
+    connected components run on that contracted graph — O(delta) state, not
+    O(graph) — and the resulting old→new component mapping is delta-sized,
+    so the single pass that rewrites the big labels table is a broadcast
+    hash join (pinned in tests/test_scale_machinery.py). Compare
+    ``merge_edges``/``merge_nodes`` (plans/incremental.py), which give the
+    same delta-cost contract for the materialized tables; this is the
+    equivalence-closure half. Min-label invariant keeps this correct: each
+    old component id is already the min node of its members, and new nodes
+    contract to themselves, so min over contracted ids == min over nodes.
+
+    Iceberg framing: labels is a MERGE INTO target; a streaming
+    foreachBatch can chain this exactly like streaming/ingest.py's edge
+    bridge.
+    """
+    d = (
+        delta_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    lab_s = labels.select(
+        F.col("node").alias("_s"), F.col("component").alias("_cs"))
+    lab_d = labels.select(
+        F.col("node").alias("_d"), F.col("component").alias("_cd"))
+    contracted = (
+        d.join(lab_s, "_s", "left")
+        .join(lab_d, "_d", "left")
+        .select(
+            F.coalesce("_cs", "_s").alias("src"),
+            F.coalesce("_cd", "_d").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # old-component/new-node → new-component; ≤ 2·|delta| rows
+    mapping = connected_components(contracted)
+
+    remap = F.broadcast(mapping.select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")))
+    updated = (
+        labels.join(remap, labels["component"] == remap["_old"], "left")
+        .select(
+            "node", F.coalesce("_new", "component").alias("component"))
+    )
+    # endpoints the standing labels have never seen: mapping rows if the
+    # contracted graph kept them, else singletons (delta self-loops on a
+    # brand-new node contract away entirely)
+    known = labels.select("node")
+    new_nodes = (
+        d.select(F.col("_s").alias("node"))
+        .unionByName(d.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(known, "node", "left_anti")
+    )
+    new_rows = (
+        new_nodes.join(remap, new_nodes["node"] == remap["_old"], "left")
+        .select("node", F.coalesce("_new", "node").alias("component"))
+    )
+    return updated.unionByName(new_rows)
+
+
 def canonicalize_graph(
     triples: DataFrame,
     same_as_edges: DataFrame,

@@ -259,41 +259,29 @@ def run_stream_merge_edges(
     and the temp/rename dance disappears; see plans/incremental.py).
 
     Parquet cannot overwrite a path while reading it, so the merge commits
-    via write-to-versioned-dir + repoint: each batch writes
-    ``{edges_path}/v{batch_id}`` and updates the ``_CURRENT`` pointer file
-    last (the commit point, same discipline as plans/checkpoint.py
-    manifests). Readers resolve ``_CURRENT`` → version dir.
+    through ``plans/versioned.VersionedTable``: each batch writes the next
+    ``v{N}`` snapshot dir and atomically repoints ``_CURRENT`` last (the
+    commit point, same discipline as plans/checkpoint.py manifests).
+    Versions are monotone from the pointer, NOT batch_id: a replayed or
+    re-checkpointed stream restarts batch ids at 0, and writing a version
+    while reading it (base) is undefined for parquet. Snapshot maintenance
+    (time travel, rollback, expiry, compaction) comes with the table — see
+    plans/versioned.py.
     """
-    import os
-
     from waka_spark.plans.incremental import edges_from_triples, merge_edges
+    from waka_spark.plans.versioned import VersionedTable
 
-    def current_version() -> int | None:
-        ptr = os.path.join(edges_path, "_CURRENT")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as fh:
-            return int(fh.read().strip().lstrip("v"))
+    table = VersionedTable(edges_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = pipeline.run(batch_df, resolve=True)
         delta = edges_from_triples(out["triples"])
-        cur = current_version()
-        base = (
-            None if cur is None
-            else spark.read.parquet(os.path.join(edges_path, f"v{cur}"))
+        cur = table.current_version()
+        merged = (
+            delta if cur is None
+            else merge_edges(table.read(spark, cur), delta)
         )
-        merged = delta if base is None else merge_edges(base, delta)
-        # monotone version from the pointer, NOT batch_id: a replayed or
-        # re-checkpointed stream restarts batch ids at 0, and writing a
-        # version while reading it (base) is undefined for parquet
-        version = f"v{0 if cur is None else cur + 1}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(edges_path, version))
-        tmp = os.path.join(edges_path, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, os.path.join(edges_path, "_CURRENT"))
+        table.commit(merged)
 
     stream = stream_transcripts(spark, input_path)
     writer = (
