@@ -2142,6 +2142,40 @@ def q_curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_auc(scored, "quality_score", "is_en")
 
 
+def q_curation_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins (operators/curation.py calibration_bins) of the
+    Gopher-style quality score vs the lang='en' pseudo-label: per
+    score-decile count / mean score / observed positive rate — the
+    companion to curation_quality_auc (ranking) that audits the score's
+    VALUES. One hash-agg on the bin id."""
+    from waka_spark.operators.curation import calibration_bins
+    from waka_spark.operators.textstats import quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_scores(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id")
+    return calibration_bins(scored, "quality_score", "is_en")
+
+
+def q_ann_conv_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level embedding pooling (operators/ann.py
+    pool_vectors): mean-pool turn vectors per conversation via ONE wide
+    hash-agg (dim avg columns, map-side partials) — the corpus is never
+    posexploded; only the pooled (n_convs × dim) table is, for the
+    oracle-comparable scalar shape."""
+    from waka_spark.operators.ann import pool_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "conv_id", (F.col("vec_id") % 50).cast("string"))
+    pooled = pool_vectors(emb, group_col="conv_id")
+    return pooled.select(
+        F.col("group_id").alias("conv_id"),
+        "n_vecs",
+        F.posexplode("pooled").alias("pos", "_val"),
+    ).select(
+        "conv_id", "n_vecs", "pos", F.round("_val", 6).alias("pooled_val"))
+
+
 def q_ann_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space covariance upper triangle (operators/ann.py
     covariance_matrix): one dim×dim Gram partial per Arrow batch via
@@ -2652,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_context_tail": q_conv_context_tail,
         "conv_loss_mask": q_conv_loss_mask,
         "curation_quality_auc": q_curation_quality_auc,
+        "curation_calibration": q_curation_calibration,
+        "ann_conv_pool": q_ann_conv_pool,
         "ann_covariance": q_ann_covariance,
         "graph_modularity": q_graph_modularity,
         "text_keyness": q_text_keyness,
@@ -5666,6 +5702,49 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p * (n_below + n / 2.0))
                          / (sum(p) * sum(n)), 6) AS auc
             FROM r
+        """,
+        "curation_calibration": f"""
+            WITH w AS (
+              SELECT doc_id, text, (lang = 'en') AS is_en,
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS ws
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, is_en,
+                     CAST(len(ws) AS INT) AS n_words,
+                     len(list_filter(ws, x -> list_contains({EN_STOP_SQL}, x)))
+                       / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS punct_ratio
+              FROM w
+            ),
+            q AS (
+              SELECT is_en,
+                     round(least(n_words / 100.0, 1.0) * 0.4
+                           + least(stop_ratio * 5.0, 1.0) * 0.4
+                           + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6)
+                       AS s
+              FROM feat
+            )
+            SELECT CAST(least(CAST(floor(s * 10) AS INT), 9) AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(s), 6) AS mean_score,
+                   round(avg(CASE WHEN is_en THEN 1.0 ELSE 0.0 END), 6)
+                     AS pos_rate
+            FROM q GROUP BY 1
+        """,
+        "ann_conv_pool": """
+            WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i)
+            SELECT CAST(vec_id % 50 AS VARCHAR) AS conv_id,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(pos.i - 1 AS INT) AS pos,
+                   round(avg(CAST(embedding[pos.i] AS DOUBLE)), 6)
+                     AS pooled_val
+            FROM embeddings, pos
+            GROUP BY 1, 3
         """,
         "ann_covariance": """
             WITH emb AS (

@@ -140,6 +140,8 @@ EXTRAS = [
     "turn_latency",
     "tool_error_streaks",
     "kg_cc_incremental",
+    "curation_calibration",
+    "ann_conv_pool",
 ]
 
 

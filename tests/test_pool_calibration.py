@@ -1,0 +1,58 @@
+"""pool_vectors (ann.py) and calibration_bins (curation.py)."""
+
+import numpy as np
+import pytest
+
+
+def test_pool_vectors_matches_numpy_mean(spark):
+    from waka_spark.operators.ann import pool_vectors
+
+    rows = [
+        ("c0", [1.0, 2.0, 3.0]),
+        ("c0", [3.0, 0.0, 1.0]),
+        ("c1", [10.0, 10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "conv string, embedding array<double>")
+    out = {r.group_id: (r.n_vecs, r.pooled)
+           for r in pool_vectors(df, group_col="conv").collect()}
+    assert out["c0"][0] == 2 and out["c1"][0] == 1
+    np.testing.assert_allclose(out["c0"][1], [2.0, 1.0, 2.0])
+    np.testing.assert_allclose(out["c1"][1], [10.0, 10.0, 10.0])
+
+
+def test_pool_vectors_normalize_unit_norm(spark):
+    from waka_spark.operators.ann import pool_vectors
+
+    df = spark.createDataFrame(
+        [("c0", [3.0, 4.0])], "conv string, embedding array<double>")
+    (row,) = pool_vectors(df, group_col="conv", normalize=True).collect()
+    np.testing.assert_allclose(row.pooled, [0.6, 0.8])
+
+
+def test_pool_vectors_no_corpus_explode(spark):
+    """The corpus must not be posexploded — pooling is one wide hash-agg;
+    the plan has no Generate node."""
+    from waka_spark.operators.ann import pool_vectors
+
+    df = spark.createDataFrame(
+        [("c0", [1.0, 2.0])] * 4, "conv string, embedding array<double>")
+    plan = pool_vectors(df, group_col="conv")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Generate" not in plan
+
+
+def test_calibration_bins_exact(spark):
+    from waka_spark.operators.curation import calibration_bins
+
+    rows = [
+        (0.05, True), (0.08, False),       # bin 0 → pos_rate 0.5
+        (0.95, True), (1.0, True),          # score 1.0 clamps into bin 9
+        (0.42, False),                      # bin 4
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(out) == {0, 4, 9}
+    assert out[0].n_docs == 2 and out[0].pos_rate == pytest.approx(0.5)
+    assert out[9].n_docs == 2 and out[9].pos_rate == pytest.approx(1.0)
+    assert out[4].pos_rate == 0.0
+    assert out[0].mean_score == pytest.approx(0.065)

@@ -466,6 +466,52 @@ def centroid_cohesion(
     )
 
 
+def pool_vectors(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Mean-pool vectors per group → (group, n_vecs, pooled array<double>)
+    — the turn-embedding → conversation-embedding step (and generally
+    item → container pooling) that feeds every conversation-level ANN /
+    SemDeDup / clustering pass.
+
+    Scale shape: same wide-agg trick as :func:`centroid_cohesion` — ONE
+    hash-agg producing ``dim`` per-dimension ``avg`` columns with map-side
+    partials, then the array reassembled in-row. The corpus is never
+    posexploded: at 10^12 turns an (id, i, x) explode shuffles dim× the
+    corpus; here shuffle bytes are exactly the output (n_groups × dim),
+    the same volume any downstream consumer must hold anyway. ``dim`` is
+    read from one row (O(1) driver action). ``normalize=True`` L2-scales
+    the pooled vector in-row so consumers can dot instead of cosine.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pooled = (
+        embeddings.select(F.col(group_col).alias("group_id"), vec.alias("_v"))
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            *[
+                F.avg(F.element_at("_v", i + 1)).alias(f"_c{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "group_id",
+            "n_vecs",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("pooled"),
+        )
+    )
+    if normalize:
+        pooled = pooled.withColumn(
+            "pooled",
+            F.transform(F.col("pooled"), lambda x: x / _norm(F.col("pooled"))),
+        )
+    return pooled
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,

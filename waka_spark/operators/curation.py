@@ -679,6 +679,40 @@ def prepare_corpus(
     return pack_sequences(train, id_col, text_col, budget, n_buckets)
 
 
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1] score against a boolean label:
+    per equal-width score bin, the count, mean score (confidence), and
+    observed positive rate — AUC (:func:`score_auc`) says whether the
+    score RANKS well; this says whether its VALUES mean what they claim
+    (a 0.9 bucket should be ~90% positive before anyone thresholds on it).
+
+    Scale shape: ONE hash-agg on the bin id (n_bins groups, map-side
+    partials absorb any score skew); the corpus is scanned once and never
+    shuffled beyond n_bins partial rows per task.
+    """
+    s = F.col(score_col)
+    bin_id = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    return (
+        scored.select(
+            bin_id.alias("bin"),
+            s.alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("pos_rate"),
+        )
+    )
+
+
 def score_auc(
     scored: DataFrame,
     score_col: str = "score",
