@@ -1482,6 +1482,18 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_window(_t(spark, sf_dir, "events"), window_sec=3600.0)
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value
+    (operators/temporal.py time_weighted_avg): each observation weighted
+    by how long it was the latest one — the irregular-sampling mean that
+    plain avg gets wrong. One exchange shared by the lead window and the
+    agg."""
+    from waka_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events")).select(
+        F.col("key").alias("user_id"), "n_obs", "twap", "plain_avg")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity ROLLUP(event_type, day) counts + value sums —
     the grouping-sets face of the relational substrate (Spark plans one
@@ -2642,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_rolling": q_events_rolling,
         "events_rollup": q_events_rollup,
+        "events_twap": q_events_twap,
         "text_bigram_logprob": q_text_bigram_logprob,
         "graph_bfs": q_graph_bfs,
         "stream_session_counts": q_stream_session_counts,
@@ -5108,6 +5121,23 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY epoch_us(ts)
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
             )
+        """,
+        "events_twap": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(value AS DOUBLE) AS v,
+                     CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts)
+                          AS DOUBLE) AS dt
+              FROM events
+              WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY epoch_us(ts) ASC, CAST(value AS DOUBLE) ASC)
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   round(sum(v * dt) / nullif(sum(dt), 0.0), 6) AS twap,
+                   round(avg(v), 6) AS plain_avg
+            FROM g GROUP BY user_id
         """,
         "events_rollup": """
             WITH prepped AS (

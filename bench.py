@@ -142,6 +142,7 @@ EXTRAS = [
     "kg_cc_incremental",
     "curation_calibration",
     "ann_conv_pool",
+    "events_twap",
 ]
 
 

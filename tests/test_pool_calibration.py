@@ -41,6 +41,43 @@ def test_pool_vectors_no_corpus_explode(spark):
     assert "Generate" not in plan
 
 
+def test_time_weighted_avg_hand_computed(spark):
+    """value 10 held 3s then 40 held 1s → twap (10·3+40·1)/4 = 17.5;
+    the final observation carries no weight; single-obs key → NULL twap."""
+    import datetime as dt
+
+    from waka_spark.operators.temporal import time_weighted_avg
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=3), 40.0),
+        (1, t0 + dt.timedelta(seconds=4), 999.0),  # last: weightless
+        (2, t0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, value double")
+    out = {r.key: r for r in time_weighted_avg(df).collect()}
+    assert out[1].twap == pytest.approx(17.5)
+    assert out[1].n_obs == 3
+    assert out[2].twap is None
+    assert out[2].plain_avg == pytest.approx(7.0)
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """Window and agg share one Exchange on the key."""
+    import datetime as dt
+
+    from waka_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), 1.0)],
+        "user_id int, ts timestamp, value double")
+    plan = time_weighted_avg(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_calibration_bins_exact(spark):
     from waka_spark.operators.curation import calibration_bins
 

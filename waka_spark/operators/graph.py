@@ -427,16 +427,23 @@ def random_walks(
     combinable; the argmin is ``min(struct(hash, dst))``, never a sort).
     ``length`` steps = ``length`` shuffles over frontier-sized data — the
     edge table is scanned per step but never re-shuffled once bucketed or
-    AQE-cached. Each frontier is persisted (one row per walk — tiny), so
-    the final union of per-step outputs replays no join chain: without
-    the persist, step s's branch would recompute frontiers 1..s-1 and the
-    total join count would be O(length²). Walks that reach a sink node
-    (no out-edges) end early; on symmetrized graphs every reached node
-    has out-edges.
+    AQE-cached. Each frontier is EAGERLY checkpointed (one row per walk —
+    tiny): the final union of per-step outputs replays no join chain, and
+    eagerness matters, not just caching — with a lazy ``persist()`` the
+    sibling union branches (step s's output AND step s+1's input) execute
+    as concurrent stages of one job and RACE to populate the same cold
+    cache, each recomputing the md5-heavy frontier⋈edges join before any
+    block is published (measured 118s → ~28s at sf0.1 for the walk query).
+    Walks that reach a sink node (no out-edges) end early; on symmetrized
+    graphs every reached node has out-edges.
 
     Output: (walk_id, step, node) — step 0 is the start node itself.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
+    e = ck.checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     frontier = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -459,7 +466,7 @@ def random_walks(
             .agg(F.min(F.struct(F.col("_h"), F.col("dst"))).alias("_m"))
             .select("walk_id", F.col("_m.dst").alias("cur"))
         )
-        frontier = hop.persist()
+        frontier = ck.checkpoint(hop)
         out = out.unionByName(frontier.select(
             "walk_id", F.lit(s).alias("step"), F.col("cur").alias("node")))
     return out

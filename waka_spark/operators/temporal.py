@@ -424,6 +424,52 @@ def validity_intervals(
     )
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value
+    until the next one, so its weight is the gap to the successor —
+    TWAP / mean-held-state semantics for irregular samples, where the
+    plain ``avg`` over-weights bursts (a metric sampled 100× during an
+    incident and once an hour otherwise should not average like 100 equal
+    votes). The last observation per key carries no weight (nothing is
+    known past it); single-observation keys report NULL with their plain
+    average alongside.
+
+    Scale shape: ONE shuffle — a lead() window on (key × ts) computes the
+    holding gap in-row, and the per-key agg reuses the exact same
+    partitioning (Spark plans one Exchange + one Sort for both; same
+    single-exchange discipline as validity_intervals/sessionize one screen
+    up). Ties on ts break by value for cross-engine determinism.
+    """
+    w = Window.partitionBy("key").orderBy(
+        F.col("_ts").asc(), F.col("_v").asc())
+    gapped = (
+        events.select(
+            F.col(key_col).alias("key"),
+            epoch_us(F.col(ts_col)).alias("_ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .withColumn("_dt", (F.lead("_ts").over(w) - F.col("_ts")).cast("double"))
+    )
+    return (
+        gapped.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            # explicit zero-total-gap guard (all obs at one instant):
+            # NULL on both engines instead of engine-specific div-by-zero
+            F.round(
+                F.sum(F.col("_v") * F.col("_dt"))
+                / F.nullif(F.sum("_dt"), F.lit(0.0)), 6)
+            .alias("twap"),
+            F.round(F.avg("_v"), 6).alias("plain_avg"),
+        )
+    )
+
+
 def mad_outliers(
     events: DataFrame,
     key_col: str = "event_type",
