@@ -49,10 +49,10 @@ def test_slice_kl_joins_stay_on_aggregated_tables(spark):
         [(i, "x y z", "en" if i % 2 else "de") for i in range(8)],
         "doc_id long, text string, lang string")
     plan = _plan(slice_kl_divergence(docs, n_buckets=8))
-    # the (slice, bucket) aggregate is persisted, so every one of its four
-    # consumers reads the cache (InMemoryTableScan) instead of replaying
-    # the token explode, and the joins above it are all broadcast
-    assert "InMemoryTableScan" in plan
+    # the (slice, bucket) aggregate is eagerly checkpointed, so every one
+    # of its four consumers reads the materialized RDD instead of
+    # replaying the token explode, and the joins above it are broadcast
+    assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -151,12 +151,13 @@ def test_conv_exact_dups_no_joins(spark):
 
 def test_conv_near_dups_reuses_cached_hash_frames(spark):
     """The turn-hash and signature frames each feed 2-3 consumers: both
-    must come from cache (InMemoryTableScan), never a corpus re-scan,
-    and candidate generation must be an equi-join (no nested loop)."""
+    must come from the eager checkpoint (Scan ExistingRDD), never a
+    corpus re-scan, and candidate generation must be an equi-join (no
+    nested loop)."""
     from waka_spark.operators.transcripts import conv_near_dups
 
     plan = _plan(conv_near_dups(_transcripts(spark)))
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -73,7 +73,11 @@ def pagerank(
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # EAGER: nodes below scans e twice (union branches) in one job; a lazy
+    # persist makes those sibling stages race to populate the cold cache
+    # and each recompute the upstream edge build (see random_walks)
+    e = ck.checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     out_edges = e.join(deg, "src").persist()
 
@@ -112,7 +116,7 @@ def pagerank(
         ck.release(ranks)
         ranks = new_ranks
     ck.release_all_except(ranks)
-    for helper in (e, out_edges, nodes):
+    for helper in (out_edges, nodes):
         helper.unpersist(False)
     return ranks
 
@@ -195,7 +199,10 @@ def label_propagation(
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # EAGER e: the nodes union scans it twice in one job (race — see
+    # random_walks / pagerank)
+    e = ck.checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -226,8 +233,7 @@ def label_propagation(
         ck.release(labels)
         labels = new_labels
     ck.release_all_except(labels)
-    for helper in (e, nodes):
-        helper.unpersist(False)
+    nodes.unpersist(False)
     return labels
 
 
@@ -309,11 +315,15 @@ def common_neighbors(
     ``min_common`` prunes the long tail of 1-wedge pairs before the
     anti-join.
     """
-    e = (
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    # EAGER: e feeds the wedge self-join's two sides plus the adjacency
+    # anti-join — sibling branches of one action (lazy-persist race, see
+    # random_walks)
+    e = TrackedCheckpoints(edges.sparkSession).checkpoint(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
     )
     # hub cap narrows WEDGE GENERATION only; the adjacency anti-join below
     # still sees every edge, so capped output never re-proposes a pair
@@ -364,14 +374,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     one self-join on the wedge apex, one closure join on the tip pair,
     one global count. Returns a single row (n_triangles).
     """
-    canon = (
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    # EAGER checkpoints: canon feeds the degree union (2 branches) and the
+    # join; oriented feeds e1/e2/closing (3 branches) — all siblings of
+    # ONE action, which with a lazy persist race to populate the cold
+    # cache and recompute the upstream edge build per branch (see
+    # random_walks)
+    ck = TrackedCheckpoints(edges.sparkSession)
+    canon = ck.checkpoint(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -387,11 +404,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    oriented = with_deg.select(
+    oriented = ck.checkpoint(with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist()
+    ))
     # wedges between out-neighbors of u, deduped by the same (deg, id) order
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
@@ -496,11 +513,14 @@ def cooccurrence_pmi(
 
     Output: (item_a, item_b, n_ab, pmi), pairs with n_ab ≥ ``min_pairs``.
     """
-    occ = (
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    # EAGER: occ feeds n_groups, marginals, and both pair-join sides —
+    # sibling branches of one action (lazy-persist race, see random_walks)
+    occ = TrackedCheckpoints(occurrences.sparkSession).checkpoint(
         occurrences.select(
             F.col(group_col).alias("grp"), F.col(item_col).alias("item"))
         .distinct()
-        .persist()
     )
     n_groups = occ.select("grp").distinct().agg(
         F.count("*").alias("_n_groups"))
@@ -565,7 +585,12 @@ def modularity(
         F.col(node_col).alias("src"), F.col(community_col).alias("_ca"))
     lb = labels.select(
         F.col(node_col).alias("dst"), F.col(community_col).alias("_cb"))
-    tagged = e.join(la, "src").join(lb, "dst").persist()
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    # EAGER: tagged feeds deg / within / m — three sibling branches of one
+    # action (lazy-persist race, see random_walks)
+    tagged = TrackedCheckpoints(edges.sparkSession).checkpoint(
+        e.join(la, "src").join(lb, "dst"))
 
     deg = tagged.groupBy("_ca").agg(F.count("*").alias("d_c"))
     within = (

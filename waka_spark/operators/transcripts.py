@@ -430,9 +430,14 @@ def conv_near_dups(
     norm = _norm_text(text_col)
     # turns feeds the signature agg AND both sides of the verification
     # join; sizes_and_sigs feeds the bucket join and the size lookups —
-    # persist both (conv/turn-level hash frames, tiny next to the
-    # corpus) so no consumer replays the corpus scan + md5 pass.
-    turns = (
+    # EAGERLY checkpoint both (conv/turn-level hash frames, tiny next to
+    # the corpus): the consumers are sibling branches of ONE action, and a
+    # lazy persist makes them race to populate the cold cache, each
+    # replaying the corpus scan + md5 pass (see graph.random_walks).
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(transcripts.sparkSession)
+    turns = ck.checkpoint(
         transcripts.select(
             F.col(conv_col).alias("conv_id"),
             F.concat(
@@ -440,15 +445,14 @@ def conv_near_dups(
             ).alias("_hex"),
         )
         .distinct()
-        .persist()
     )
-    sizes_and_sigs = turns.groupBy("conv_id").agg(
+    sizes_and_sigs = ck.checkpoint(turns.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("n_turns"),
         *[
             F.min(F.substring("_hex", b * 8 + 1, 8)).alias(f"_s{b}")
             for b in range(n_bands)
         ],
-    ).persist()
+    ))
     sigs = sizes_and_sigs.select(
         "conv_id",
         F.explode(
