@@ -1924,6 +1924,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=8, n_iters=2, threshold=0.46)
 
 
+def q_ann_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cell
+    (operators/ann.py simplified_silhouette): O(n·k) narrow cosine against
+    the broadcast codebook, one k-row agg — the cluster-quality gate for
+    the SemDeDup/IVF cells."""
+    from waka_spark.operators.ann import simplified_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return simplified_silhouette(emb, k=8, n_iters=2)
+
+
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the SimHash similarity
+    graph (operators/graph.py local_clustering_coefficient): degree-ordered
+    triangle corners fanned out 3× and counted per node, 2T/(d(d-1))."""
+    from waka_spark.operators.graph import local_clustering_coefficient
+
+    return local_clustering_coefficient(_simhash_graph(spark, sf_dir))
+
+
 def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring (operators/curation.py dsir_importance):
     hashed-bigram log-likelihood-ratio weights (target = lang='en') as a
@@ -2687,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "ann_kmeans": q_ann_kmeans,
         "dedup_semantic": q_dedup_semantic,
+        "ann_silhouette": q_ann_silhouette,
+        "graph_local_clustering": q_graph_local_clustering,
         "curation_dsir": q_curation_dsir,
         "text_winnowing": q_text_winnowing,
         "graph_walks": q_graph_walks,
@@ -5434,6 +5457,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT a3.vec_id, a3.cell,
                    (a3.vec_id IN (SELECT dup_id FROM dups)) AS is_dup
             FROM a3
+        """,
+        "ann_silhouette": f"""
+            WITH {_KMEANS_CTE},
+            sims AS (
+              SELECT e.vec_id, c.cell,
+                     round(list_cosine_similarity(e.v, c.cent), 6) AS sim
+              FROM emb e CROSS JOIN c2 c
+            ),
+            own AS (
+              SELECT vec_id, cell, sim AS own_sim FROM (
+                SELECT vec_id, cell, sim,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ),
+            oth AS (
+              SELECT s.vec_id, max(s.sim) AS other_sim
+              FROM sims s JOIN own o
+                ON s.vec_id = o.vec_id AND s.cell <> o.cell
+              GROUP BY s.vec_id
+            ),
+            sil AS (
+              SELECT o.cell,
+                     CASE WHEN greatest(1 - own_sim, 1 - other_sim) > 0
+                          THEN round(((1 - other_sim) - (1 - own_sim))
+                                     / greatest(1 - own_sim, 1 - other_sim),
+                                     6)
+                          ELSE 0.0 END AS s
+              FROM own o JOIN oth t ON o.vec_id = t.vec_id
+            )
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(s), 6) AS mean_silhouette
+            FROM sil GROUP BY cell
+        """,
+        "graph_local_clustering": f"""
+            WITH {_SIMHASH_PAIRS_CTES},
+            canon AS (
+              SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM sh_pairs WHERE doc_a <> doc_b
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM canon
+                UNION ALL SELECT b FROM canon
+              ) GROUP BY node
+            ),
+            tris AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM canon e1
+              JOIN canon e2 ON e1.b = e2.a
+              JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS node FROM tris
+              UNION ALL SELECT y FROM tris
+              UNION ALL SELECT z FROM tris
+            ),
+            t AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS nt
+              FROM corners GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(t.nt, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM deg d LEFT JOIN t ON d.node = t.node
         """,
         "curation_dsir": """
             WITH w AS (

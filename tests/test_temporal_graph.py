@@ -566,3 +566,40 @@ def test_bigram_logprob_mixed_context(spark):
     # c1(a)=2, c(a,b)=c(a,c)=1 -> NLL = ln 2 both docs
     assert got[1] == pytest.approx(math.log(2), abs=1e-6)
     assert got[2] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_local_clustering_coefficient(spark):
+    from waka_spark.operators.graph import local_clustering_coefficient
+
+    # Triangle 0-1-2 plus pendant 3 attached to 0:
+    #   node 0: deg 3, 1 triangle -> lcc = 2/(3*2) = 1/3
+    #   nodes 1,2: deg 2, 1 triangle -> lcc = 1.0
+    #   node 3: deg 1 -> lcc = 0.0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3), (1, 0)],  # dup in reverse orientation
+        "src int, dst int",
+    )
+    got = {r["node"]: r for r in local_clustering_coefficient(edges).collect()}
+    assert got[0]["degree"] == 3 and got[0]["n_triangles"] == 1
+    assert got[0]["lcc"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1]["lcc"] == 1.0 and got[2]["lcc"] == 1.0
+    assert got[3]["degree"] == 1 and got[3]["n_triangles"] == 0
+    assert got[3]["lcc"] == 0.0
+
+
+def test_simplified_silhouette_separated_clusters(spark):
+    from waka_spark.operators.ann import simplified_silhouette
+
+    # Two tight, orthogonal clusters (k=2, init = two lowest ids = one
+    # seed in each cluster): silhouette ~ 1 for every vector.
+    rows = [
+        (0, [1.0, 0.0, 0.01]), (2, [1.0, 0.01, 0.0]), (4, [0.99, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.01]), (3, [0.01, 1.0, 0.0]), (5, [0.0, 0.99, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = simplified_silhouette(emb, k=2, n_iters=2).collect()
+    assert len(got) == 2
+    assert sum(r["n_vecs"] for r in got) == 6
+    for r in got:
+        assert r["n_vecs"] == 3
+        assert r["mean_silhouette"] > 0.9

@@ -715,6 +715,68 @@ def kmeans_assign(
     return ivf_assign(embeddings, cents, id_col, vec_col)
 
 
+def simplified_silhouette(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster simplified silhouette over a :func:`kmeans_fit`
+    codebook — the O(n·k) centroid-based variant (Hruschka et al. 2004)
+    of the classic O(n²) silhouette, the only one that scales: a(i) =
+    cosine distance to the OWN centroid, b(i) = distance to the nearest
+    OTHER centroid, s(i) = (b−a)/max(a,b).
+
+    Everything is computed narrow against the k×dim codebook literal
+    (same shape as ``ivf_assign`` — no shuffle per vector, no UDF); the
+    only shuffle is the final k-row per-cell aggregation with map-side
+    partials. Cosines round to 1e-6 before the argmax and the a/b
+    arithmetic so the DuckDB oracle replays bit-identically; argmax ties
+    go to the lowest cell, where s collapses to 0 (own == other max).
+
+    Output: one row per cell — (cell, n_vecs, mean_silhouette), the
+    training-data curation signal for "is this SemDeDup/IVF clustering
+    tight enough to trust its cells".
+    """
+    cents_df = kmeans_fit(embeddings, k, n_iters, id_col, vec_col)
+    rows = cents_df.orderBy("cell", "dim_idx").collect()
+    by_cell: dict[int, list[float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
+    cents = F.array(*[
+        F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
+    ])
+    vec = F.col(vec_col)
+    sims = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
+        .alias("_sims"),
+    )
+    tagged = sims.select(
+        "vec_id",
+        (F.array_position("_sims", F.array_max(F.col("_sims"))) - 1)
+        .cast("int").alias("cell"),
+        F.col("_sims"),
+    )
+    own_sim = F.element_at("_sims", F.col("cell") + 1)
+    other_sim = F.array_max(
+        F.filter("_sims", lambda _, i: i != F.col("cell")))
+    a = F.lit(1.0) - own_sim
+    b = F.lit(1.0) - other_sim
+    s = F.when(
+        F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        tagged.select("cell", s.alias("_s"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,

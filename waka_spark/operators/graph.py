@@ -355,24 +355,24 @@ def common_neighbors(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Total triangles in the undirected graph induced by ``edges``.
+def _oriented_triangles(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared degree-ordered triangle enumeration (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient each undirected edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate wedges only between a node's ORIENTED
+    out-neighbors, and close a triangle iff the oriented edge between the
+    two wedge tips exists. Every node's oriented out-degree is O(sqrt(m)),
+    so total wedge work is O(m^1.5) regardless of hub degree —
+    lexicographic orientation (the naive a<b<c join) instead puts a hub's
+    entire neighborhood behind one low-id key and goes quadratic on
+    exactly the skewed graphs a KG similarity graph is (Zipf-hot
+    entities). Each triangle is emitted exactly once: it has exactly one
+    lowest-(degree, id) apex.
 
-    Degree-ordered orientation (Suri & Vassilvitskii, "Counting Triangles
-    and the Curse of the Last Reducer", WWW'11): orient each undirected
-    edge from its lower-(degree, id) endpoint to the higher one, enumerate
-    wedges only between a node's ORIENTED out-neighbors, and close a
-    triangle iff the oriented edge between the two wedge tips exists.
-    Every node's oriented out-degree is O(sqrt(m)), so total wedge work is
-    O(m^1.5) regardless of hub degree — lexicographic orientation (the
-    naive a<b<c join) instead puts a hub's entire neighborhood behind one
-    low-id key and goes quadratic on exactly the skewed graphs a KG
-    similarity graph is (Zipf-hot entities). Result is identical: each
-    triangle has exactly one lowest-(degree, id) apex.
-
-    Plan shape: one hash-agg for degrees, two hash joins to attach them,
-    one self-join on the wedge apex, one closure join on the tip pair,
-    one global count. Returns a single row (n_triangles).
+    Returns ``(deg, triangles)``: per-node degrees over the canonical
+    undirected edge set, and one (u, x, y) row per triangle.
     """
     from waka_spark.plans.iterate import TrackedCheckpoints
 
@@ -415,11 +415,64 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges = e1.join(e2, "u").filter(
         (F.col("dx") < F.col("dy"))
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-    ).select("x", "y")
+    ).select("u", "x", "y")
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    triangles = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    return deg, triangles
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Total triangles in the undirected graph induced by ``edges``, via
+    the degree-ordered enumeration in :func:`_oriented_triangles`.
+
+    Plan shape: one hash-agg for degrees, two hash joins to attach them,
+    one self-join on the wedge apex, one closure join on the tip pair,
+    one global count. Returns a single row (n_triangles).
+    """
+    _, triangles = _oriented_triangles(edges, src, dst)
+    return triangles.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: lcc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), T(v) = triangles through v; nodes of degree < 2
+    get lcc 0 (Watts-Strogatz convention).
+
+    Reuses the degree-ordered triangle enumeration
+    (:func:`_oriented_triangles`) and fans each triangle out to its three
+    corners — one extra narrow explode + hash-agg over triangle count, so
+    the O(m^1.5) wedge bound carries over unchanged. The corner fan-out is
+    3 rows per triangle regardless of hub degree; the per-node count agg
+    has map-side partials, so no skew hazard beyond the enumeration's own
+    (already degree-bounded) one.
+
+    Output: (node, degree, n_triangles, lcc) for every node that appears
+    in the canonical edge set.
+    """
+    deg, triangles = _oriented_triangles(edges, src, dst)
+    corners = (
+        triangles.select(F.col("u").alias("node"))
+        .unionByName(triangles.select(F.col("x").alias("node")))
+        .unionByName(triangles.select(F.col("y").alias("node")))
+    )
+    tcounts = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles"))
     return (
-        wedges.join(closing, ["x", "y"])
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+        deg.join(tcounts, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)), 6),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
     )
 
 
