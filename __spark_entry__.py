@@ -1131,6 +1131,78 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_rule_triples_scored(spark, sf_dir), k=2)
 
 
+def _interaction_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → KG-shaped interaction triples (subj=user, pred=event_type,
+    obj=the props.k item): the materialize-a-KG-from-logs view that gives
+    the predicate profiler and HITS a genuinely multi-valued graph (150
+    users × 100 items at sf0.01), unlike the 4-rule text closure."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        .alias("subj_url"),
+        F.col("event_type").alias("pred_url"),
+        F.concat(F.lit("k"), F.get_json_object("props", "$.k"))
+        .alias("obj_url"),
+    )
+
+
+def q_kg_predicate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality/functionality profile of the KG edges
+    table (plans/incremental.py predicate_profile): distinct edge
+    identities → two (pred, endpoint) partial aggs → |preds|-row join."""
+    from waka_spark.plans.incremental import predicate_profile
+
+    return predicate_profile(_interaction_triples(spark, sf_dir))
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (operators/graph.py hits)
+    over the directed user→item click graph: authority = the items the
+    corpus keeps pointing at, hub = the users whose clicks cover them.
+    L1-normalized once at the end via a broadcast scalar agg (power
+    iteration is scale-invariant per round)."""
+    from waka_spark.operators.graph import hits
+
+    edges = (
+        _interaction_triples(spark, sf_dir)
+        .filter(F.col("pred_url") == "click")
+        .select(F.col("subj_url").alias("src"),
+                F.col("obj_url").alias("dst"))
+    )
+    return hits(edges, n_iter=5)
+
+
+def q_stream_call_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/ingest.py
+    streaming_interval_join) run on its batch face: every tool-result
+    turn paired with the assistant call that preceded it within 900s in
+    the same conversation → per-call tool latency + error flag. The
+    tumbling gap structure of the fixture (504–696s between consecutive
+    turns, ≥1104s for two) makes the 900s window match exactly the
+    immediately preceding assistant turn, so the result is
+    SQL-derivable."""
+    from waka_spark.operators.tools import _is_error
+    from waka_spark.streaming.ingest import streaming_interval_join
+
+    t = _tool_transcripts(spark, sf_dir)
+    resps = t.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select("conv_id", "ts", "turn_idx", "tool", "text")
+    calls = t.filter(F.col("role") == "assistant").select(
+        "conv_id", "ts", "turn_idx")
+    j = streaming_interval_join(resps, calls, key="conv_id",
+                                window_sec=900)
+    return j.select(
+        F.col("l_key").alias("conv_id"),
+        F.col("r_turn_idx").alias("call_idx"),
+        F.col("l_turn_idx").alias("resp_idx"),
+        F.col("l_tool").alias("tool"),
+        (F.unix_timestamp("l_ts") - F.unix_timestamp("r_ts"))
+        .cast("long").alias("latency_s"),
+        _is_error("l_text").cast("int").alias("is_error"),
+    )
+
+
 def q_kg_nodes_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NODES-table maintenance (plans/incremental.py): node
     stats built from even conversations merged with the odd-conv delta —
@@ -2660,6 +2732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_merge": q_kg_edges_merge,
         "kg_nodes_merge": q_kg_nodes_merge,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_predicate_profile": q_kg_predicate_profile,
+        "graph_hits": q_graph_hits,
+        "stream_call_response": q_stream_call_response,
         "graph_label_prop": q_graph_label_prop,
         "conv_role_stats": q_conv_role_stats,
         "curation_mixture": q_curation_mixture,
@@ -3138,6 +3213,57 @@ def _bfs_sql(n_iter: int = 4, seed_mod: int = 97) -> str:
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM d{n_iter}"
+    )
+
+
+_INTERACTION_CTE = """
+            it AS (
+              SELECT 'u' || user_id AS subj_url,
+                     event_type AS pred_url,
+                     'k' || json_extract_string(props, '$.k') AS obj_url
+              FROM events
+            )
+"""
+
+
+def _hits_sql(n_iter: int = 5) -> str:
+    """Fixed-iteration HITS as chained CTEs (two half-steps per round) —
+    the SQL mirror of operators/graph.py:hits over the user→item click
+    graph. Same discipline as _pagerank_sql: all arithmetic DOUBLE,
+    normalization (L1, once at the end) and rounding only in the final
+    select."""
+    ctes = [
+        f"{_INTERACTION_CTE.strip()}",
+        "e AS (SELECT DISTINCT subj_url AS src, obj_url AS dst "
+        "FROM it WHERE pred_url = 'click')",
+        "g_nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)",
+        "s0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM g_n) AS "
+        "hub, CAST(1 AS DOUBLE) / (SELECT n FROM g_n) AS authority "
+        "FROM g_nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT e.dst AS node, sum(s.hub) AS authority
+  FROM e JOIN s{i - 1} s ON e.src = s.node GROUP BY e.dst
+)""")
+        ctes.append(f"""h{i} AS (
+  SELECT e.src AS node, sum(a.authority) AS hub
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT n.node, coalesce(h.hub, CAST(0 AS DOUBLE)) AS hub,
+         coalesce(a.authority, CAST(0 AS DOUBLE)) AS authority
+  FROM g_nodes n
+  LEFT JOIN h{i} h ON n.node = h.node
+  LEFT JOIN a{i} a ON n.node = a.node
+)""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node,"
+        f" round(hub / (SELECT sum(hub) FROM s{n_iter}), 6) AS hub,"
+        f" round(authority / (SELECT sum(authority) FROM s{n_iter}), 6)"
+        f" AS authority FROM s{n_iter}"
     )
 
 
@@ -4269,6 +4395,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id, p.user_id, p.ts
         """,
         "graph_pagerank": _pagerank_sql(n_iter=10, damping=0.85),
+        "graph_hits": _hits_sql(n_iter=5),
+        "kg_predicate_profile": f"""
+            WITH {_INTERACTION_CTE},
+            t AS (SELECT DISTINCT subj_url, pred_url, obj_url FROM it),
+            bs AS (
+              SELECT pred_url, subj_url, count(*) AS fan
+              FROM t GROUP BY 1, 2
+            ),
+            s AS (
+              SELECT pred_url,
+                     CAST(sum(fan) AS BIGINT) AS n_edges,
+                     CAST(count(*) AS BIGINT) AS n_subjects,
+                     CAST(max(fan) AS BIGINT) AS max_out_fanout
+              FROM bs GROUP BY 1
+            ),
+            bo AS (
+              SELECT pred_url, obj_url, count(*) AS fan
+              FROM t GROUP BY 1, 2
+            ),
+            o AS (
+              SELECT pred_url,
+                     CAST(count(*) AS BIGINT) AS n_objects,
+                     CAST(max(fan) AS BIGINT) AS max_in_fanout
+              FROM bo GROUP BY 1
+            )
+            SELECT s.pred_url, n_edges, n_subjects, n_objects,
+                   max_out_fanout, max_in_fanout,
+                   round(n_subjects / CAST(n_edges AS DOUBLE), 6)
+                     AS functionality,
+                   round(n_objects / CAST(n_edges AS DOUBLE), 6)
+                     AS inv_functionality
+            FROM s JOIN o ON s.pred_url = o.pred_url
+        """,
+        "stream_call_response": f"""
+            WITH t AS ({_TOOLTR}),
+            resp AS (
+              SELECT conv_id, turn_idx, tool, text, ts_s FROM t
+              WHERE role = 'tool' AND tool IS NOT NULL
+            ),
+            call AS (
+              SELECT conv_id, turn_idx, ts_s FROM t
+              WHERE role = 'assistant'
+            )
+            SELECT r.conv_id,
+                   c.turn_idx AS call_idx,
+                   r.turn_idx AS resp_idx,
+                   r.tool,
+                   CAST(r.ts_s - c.ts_s AS BIGINT) AS latency_s,
+                   CASE WHEN regexp_replace(lower(trim(r.text)), '\\s+',
+                                            ' ', 'g') LIKE 'error%'
+                        THEN 1 ELSE 0 END AS is_error
+            FROM resp r JOIN call c
+              ON r.conv_id = c.conv_id
+             AND c.ts_s >= r.ts_s - 900
+             AND c.ts_s < r.ts_s
+        """,
         "graph_triangles": f"""
             WITH {_SIMHASH_PAIRS_CTES},
             canon AS (

@@ -1,6 +1,7 @@
-"""Unit tests for plans/incremental.py (edge merge, negative sampling)
-and operators/diagnostics.py (key-skew profile)."""
+"""Unit tests for plans/incremental.py (edge merge, negative sampling,
+predicate profile) and operators/diagnostics.py (key-skew profile)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -120,3 +121,27 @@ def test_merge_nodes_equals_rebuild(spark):
     rebuilt = {tuple(r[k] for k in cols)
                for r in nodes_from_triples(t).collect()}
     assert merged == rebuilt
+
+
+def test_predicate_profile_functionality(spark):
+    from waka_spark.plans.incremental import predicate_profile
+
+    # p_multi: s1->{o1,o2}, s2->o1 (dup row collapses);
+    # p_func: s1->o1, s2->o2 — functional AND inverse-functional.
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p_multi", "o1"), ("s1", "p_multi", "o2"),
+            ("s2", "p_multi", "o1"), ("s2", "p_multi", "o1"),
+            ("s1", "p_func", "o1"), ("s2", "p_func", "o2"),
+        ],
+        "subj_url string, pred_url string, obj_url string",
+    )
+    got = {r["pred_url"]: r for r in predicate_profile(triples).collect()}
+    m = got["p_multi"]
+    assert (m["n_edges"], m["n_subjects"], m["n_objects"]) == (3, 2, 2)
+    assert (m["max_out_fanout"], m["max_in_fanout"]) == (2, 2)
+    assert m["functionality"] == pytest.approx(2 / 3, abs=1e-6)
+    assert m["inv_functionality"] == pytest.approx(2 / 3, abs=1e-6)
+    f = got["p_func"]
+    assert (f["n_edges"], f["max_out_fanout"], f["max_in_fanout"]) == (2, 1, 1)
+    assert f["functionality"] == 1.0 and f["inv_functionality"] == 1.0

@@ -603,3 +603,23 @@ def test_simplified_silhouette_separated_clusters(spark):
     for r in got:
         assert r["n_vecs"] == 3
         assert r["mean_silhouette"] > 0.9
+
+
+def test_hits_star_vs_pendant(spark):
+    from waka_spark.operators.graph import hits
+
+    # a -> {b, c}, d -> b: b is the stronger authority (two in-links),
+    # a the stronger hub (covers both authorities); pure-source nodes
+    # have authority 0, pure-sink nodes hub 0; both scores L1-normalize.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("a", "b")],  # dup edge
+        "src string, dst string",
+    )
+    got = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
+    assert got["b"]["authority"] > got["c"]["authority"] > 0
+    assert got["a"]["hub"] > got["d"]["hub"] > 0
+    assert got["a"]["authority"] == 0.0 and got["d"]["authority"] == 0.0
+    assert got["b"]["hub"] == 0.0 and got["c"]["hub"] == 0.0
+    assert sum(r["hub"] for r in got.values()) == pytest.approx(1, abs=1e-4)
+    assert sum(r["authority"] for r in got.values()) == pytest.approx(
+        1, abs=1e-4)

@@ -121,6 +121,87 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM'99) over a DIRECTED edge
+    list → (node, hub, authority). On the KG edges table (subj→obj) the
+    authority score surfaces the entities the corpus keeps pointing AT
+    (canonical objects) and the hub score the entities statements hang
+    OFF (prolific subjects) — the directed complement of
+    :func:`pagerank`, which the symmetrized similarity graph feeds.
+
+    Each round: auth'(v) = Σ_{u→v} hub(u); hub'(u) = Σ_{u→v} auth'(v).
+    Normalization happens ONCE at the end (L1, not L2 — exactly
+    mirrorable in SQL without sqrt drift): power iteration's direction is
+    scale-invariant, so per-round renormalizing would only add a global
+    single-row barrier per round without changing the answer; 5 rounds of
+    unnormalized sums stay far inside double range (growth ≤ max-degree
+    per half-step). One join + one agg per half-step over (node, score)
+    pairs; ``localCheckpoint`` flattens lineage so round t+1 does not
+    replay rounds 1..t (plans/iterate.py). The final norm is a scalar agg
+    broadcast back — never an unpartitioned window. Dangling nodes (no
+    out- or in-edges on one side) keep score 0 from that side's update,
+    matching the adjacency-matrix formulation.
+    """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
+    # EAGER: nodes below scans e twice (union branches) in one job — same
+    # lazy-persist race as pagerank's edge build
+    e = ck.checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+
+    scores = ck.checkpoint(nodes.select(
+        "node",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(1.0 / n).alias("authority"),
+    ))
+    for _ in range(n_iter):
+        auth = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        hub = (
+            e.join(auth.select(F.col("node").alias("dst"),
+                               F.col("authority").alias("_av")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("_av").alias("hub"))
+        )
+        new_scores = ck.checkpoint(
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+        )
+        ck.release(scores)
+        scores = new_scores
+    ck.release_all_except(scores)
+    nodes.unpersist(False)
+    norms = scores.agg(
+        F.sum("hub").alias("_hn"), F.sum("authority").alias("_an"))
+    return scores.crossJoin(F.broadcast(norms)).select(
+        "node",
+        F.round(F.col("hub") / F.col("_hn"), 6).alias("hub"),
+        F.round(F.col("authority") / F.col("_an"), 6).alias("authority"),
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,

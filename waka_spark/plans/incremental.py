@@ -193,3 +193,62 @@ def negative_samples(
             .alias("is_degenerate"),
         )
     )
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate schema profile over the materialized KG — the
+    cardinality/functionality statistics an ontology curator (or a
+    downstream embedding trainer choosing 1-N/N-1 corruption sides, cf.
+    TransH/TransR's bernoulli sampling) reads off the edges table. The
+    reference carries predicate metadata only as per-triple URLs
+    (kg_construction.py:253-257, relation_linking.py:18); at corpus scale
+    the aggregate view is what reveals schema drift (a supposedly
+    functional predicate like date-of-birth acquiring multi-valued
+    subjects is an extraction-bug alarm).
+
+    Per ``pred_url`` over the DISTINCT edge identities:
+
+    - ``n_edges``:    distinct (subj, obj) pairs using the predicate.
+    - ``n_subjects`` / ``n_objects``: distinct endpoint entities.
+    - ``max_out_fanout``: max distinct objects for one subject (1 ⇒
+      functional), ``max_in_fanout``: max distinct subjects for one
+      object (1 ⇒ inverse-functional).
+    - ``functionality`` = n_subjects / n_edges, ``inv_functionality`` =
+      n_objects / n_edges (Suchanek et al., PARIS, VLDB'12) — both 1.0
+      exactly when the predicate is (inverse-)functional.
+
+    Scale shape: one distinct on the edge identity (the same shuffle the
+    P22 dedup already paid — feed this the edges table and it is
+    pre-deduped), then two partial-agg reductions keyed by (pred, subj) /
+    (pred, obj) and a final |preds|-row join. No windows, no skew hazard:
+    the heaviest key a reducer sees is one predicate's edge list, split
+    map-side by the two-level agg.
+    """
+    e = triples.select(*EDGE_KEY).distinct()
+    by_subj = (
+        e.groupBy("pred_url", "subj_url")
+        .agg(F.count("*").alias("_fan"))
+        .groupBy("pred_url")
+        .agg(
+            F.sum("_fan").cast("long").alias("n_edges"),
+            F.count("*").cast("long").alias("n_subjects"),
+            F.max("_fan").cast("long").alias("max_out_fanout"),
+        )
+    )
+    by_obj = (
+        e.groupBy("pred_url", "obj_url")
+        .agg(F.count("*").alias("_fan"))
+        .groupBy("pred_url")
+        .agg(
+            F.count("*").cast("long").alias("n_objects"),
+            F.max("_fan").cast("long").alias("max_in_fanout"),
+        )
+    )
+    return by_subj.join(by_obj, "pred_url").select(
+        "pred_url", "n_edges", "n_subjects", "n_objects",
+        "max_out_fanout", "max_in_fanout",
+        F.round(F.col("n_subjects") / F.col("n_edges"), 6)
+        .alias("functionality"),
+        F.round(F.col("n_objects") / F.col("n_edges"), 6)
+        .alias("inv_functionality"),
+    )
