@@ -2321,6 +2321,18 @@ def q_curation_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), group_col="lang", k=20)
 
 
+def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted k-per-group sample (operators/curation.py
+    weighted_sample_k_per_group, A-ES): 20 docs per language with
+    inclusion probability ∝ n_chars — md5-derived uniforms, ln(u)/w keys
+    rounded 1e-9 so the draw replays in DuckDB."""
+    from waka_spark.operators.curation import weighted_sample_k_per_group
+
+    return weighted_sample_k_per_group(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang", weight_col="n_chars", k=20)
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape (forecasting revenue change): a pure scan-filter-agg
     with every predicate pushed into the parquet scan — the baseline
@@ -2803,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "text_keyness": q_text_keyness,
         "curation_sample_k": q_curation_sample_k,
+        "curation_sample_weighted": q_curation_sample_weighted,
         "tpch_q6": q_tpch_q6,
         "ann_pq": q_ann_pq,
         "events_anomaly_mad": q_events_anomaly_mad,
@@ -6120,6 +6133,26 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC
                      ) AS INT) AS sample_rank
               FROM documents
+            ) WHERE sample_rank <= 20
+        """,
+        "curation_sample_weighted": """
+            WITH keyed AS (
+              SELECT *,
+                     round(
+                       ln((CAST(('0x' || substr(
+                             md5('wkpg:' || CAST(doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) + 1)
+                          / CAST(4294967296 AS DOUBLE))
+                       / CAST(n_chars AS DOUBLE), 9) AS _key
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, text, lang, source, n_chars, sample_rank FROM (
+              SELECT * EXCLUDE (_key),
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY _key DESC, doc_id ASC
+                     ) AS INT) AS sample_rank
+              FROM keyed
             ) WHERE sample_rank <= 20
         """,
         "tpch_q6": """

@@ -70,3 +70,35 @@ def test_sample_k_per_group_exact_counts_and_determinism(spark):
     # k larger than the group: the whole group comes back
     tiny = sample_k_per_group(docs.filter("doc_id >= 30"), "lang", k=99)
     assert tiny.count() == 10
+
+
+def test_weighted_sample_k_biases_toward_heavy_rows(spark):
+    from waka_spark.operators.curation import weighted_sample_k_per_group
+
+    # One group, 200 rows: even ids weigh 1000, odd ids weigh 1. With
+    # k=30 the heavy half should dominate the (deterministic) draw.
+    rows = [(i, "g", 1000.0 if i % 2 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = weighted_sample_k_per_group(
+        df, group_col="grp", weight_col="w", k=30).collect()
+    assert len(got) == 30
+    assert sorted(r["sample_rank"] for r in got) == list(range(1, 31))
+    n_heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert n_heavy >= 25
+
+    # determinism: same draw on re-run
+    again = weighted_sample_k_per_group(
+        df, group_col="grp", weight_col="w", k=30).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+def test_weighted_sample_k_drops_nonpositive_weights(spark):
+    from waka_spark.operators.curation import weighted_sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 0.0), (3, "g", -2.0), (4, "g", 1.0)],
+        "doc_id long, grp string, w double",
+    )
+    got = weighted_sample_k_per_group(
+        df, group_col="grp", weight_col="w", k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 4}

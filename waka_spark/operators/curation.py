@@ -790,6 +790,51 @@ def sample_k_per_group(
     )
 
 
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample-without-replacement, exactly k per
+    group (Efraimidis & Spirakis, IPL'06 A-ES): each row draws key
+    ln(u)/w for a uniform u ∈ (0,1] and weight w > 0, and the k largest
+    keys per group win — inclusion probability proportional to weight,
+    the standard one-pass distributed weighted reservoir. The curation
+    use: "k docs per language for review, longer/higher-quality docs
+    proportionally more likely" — :func:`sample_k_per_group`'s uniform
+    contract can't bias toward quality.
+
+    u is md5-derived (salt ``wkpg:``, distinct from the uniform-sample /
+    split salts), so the draw is engine-portable and reproducible; keys
+    round to 1e-9 with an id tie-break so rank order — hence membership —
+    replays exactly in the DuckDB oracle despite libm ulp differences.
+    Same scale shape as :func:`sample_k_per_group`: ONE window shuffle
+    keyed by the group column, no per-group state beyond the heap Spark's
+    window sort already maintains. Rows with non-positive weight are
+    excluded (ln(u)/w flips sign: they would otherwise always win).
+
+    Output: input columns + ``sample_rank``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wkpg:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2 ** 32))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def quality_expectations(
     df: DataFrame,
     rules: list[tuple[str, Column]],
