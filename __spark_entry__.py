@@ -4245,24 +4245,35 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id % 200 AS VARCHAR) || '.0.12 call +1 555 '
                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
               FROM documents
+            ),
+            -- counts mirror the Spark side's chained semantics: each
+            -- pattern is counted on the text the redaction step sees
+            r1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            r2 AS (
+              SELECT *,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM r1
             )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
                      AS n_emails,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
                      AS n_ipv4,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                      '\+\d[\d ]{7,}\d')) AS BIGINT) AS n_phones,
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(text,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                         '<EMAIL>', 'g'),
-                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                     '\+\d[\d ]{7,}\d', '<PHONE>', 'g') AS clean_text
-            FROM aug
+                   regexp_replace(t2, '\+\d[\d ]{7,}\d', '<PHONE>', 'g')
+                     AS clean_text
+            FROM r2
         """,
         "curation_repetition": """
             WITH w AS (

@@ -173,6 +173,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            spark.catalog.clearCache()  # drop this run's persisted frames
         timings[name] = round(best, 3)
 
     # extras: one sample each (they are tracked for regressions, not the
@@ -183,6 +184,7 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode(
             "overwrite").save()
         extra_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     turns_per_sec = round(n_turns / timings["kg_e2e_triples"], 1)

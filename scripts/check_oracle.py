@@ -90,6 +90,10 @@ def main():
             print(f"{name}: MISMATCH {'; '.join(status)} [{time.time()-t0:.1f}s]")
         else:
             print(f"{name}: OK rows={len(sr)} [{time.time()-t0:.1f}s]")
+        # several operators persist() intermediates that live until the
+        # session drops them; one long session running every query would
+        # otherwise accumulate all of them in storage memory
+        spark.catalog.clearCache()
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
     if failures:

@@ -311,3 +311,38 @@ def test_prepare_corpus_composition(spark):
     assert set(out) == expected
     for r in out.values():
         assert r["start_offset"] >= 0 and r["seq_idx"] == r["start_offset"] // 512
+
+
+def test_pii_scrub_nested_matches_count_what_was_redacted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact a+12345678901@mail.com now"),  # phone inside email
+            (2, "host user@1.2.3.4.com up"),            # ipv4 inside email
+            (3, "call +1 555 123 4567 or 10.0.0.1"),    # genuine phone + ip
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = got[1]
+    assert r1["n_emails"] == 1 and r1["n_phones"] == 0
+    assert "<EMAIL>" in r1["clean_text"] and "<PHONE>" not in r1["clean_text"]
+    r2 = got[2]
+    assert r2["n_emails"] == 1 and r2["n_ipv4"] == 0
+    assert "<IP>" not in r2["clean_text"]
+    r3 = got[3]
+    assert r3["n_phones"] == 1 and r3["n_ipv4"] == 1
+    assert "<PHONE>" in r3["clean_text"] and "<IP>" in r3["clean_text"]
+
+
+def test_filter_verdict_zero_word_doc_is_attributable(spark):
+    from waka_spark.operators.curation import filter_verdict
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "enough words " * 20)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in filter_verdict(df).collect()}
+    assert set(got) == {1, 2, 3}  # nothing silently dropped
+    for d in (1, 2):
+        assert got[d]["bad_length"] == 1 and got[d]["keep"] == 0
+    assert got[3]["bad_length"] == 0

@@ -219,3 +219,30 @@ def test_aho_rule_extraction_matches_contains_join(spark):
     sql_out = sorted(map(key, rule_relation_extraction(tricky, tricky_rules).collect()))
     aho_out = sorted(map(key, aho_relation_extraction(tricky, tricky_rules).collect()))
     assert sql_out == aho_out and len(sql_out) == 3
+
+
+def test_aho_cache_key_pipe_surfaces_do_not_collide(spark):
+    """Two rule tables whose surface sets would collide under a
+    '|'.join cache key ({'a|b','c'} vs {'a','b','c'} -> 'a|b|c') must
+    each get their own automaton: run the pipe-containing table first so
+    a shared-key bug would hand its scanner to the second table."""
+    from waka_spark.operators.relations import aho_relation_extraction
+
+    docs = spark.createDataFrame(
+        [("d1", "x a|b y c"), ("d2", "a b c")],
+        "conv_id string, text string",
+    )
+    piped = spark.createDataFrame(
+        [("a|b", "p", "c")],
+        "subj_surface string, pred_text string, obj_surface string",
+    )
+    plain = spark.createDataFrame(
+        [("a", "q", "b")],
+        "subj_surface string, pred_text string, obj_surface string",
+    )
+    first = aho_relation_extraction(docs, piped).collect()
+    assert {(r.conv_id, r.pred_text) for r in first} == {("d1", "p")}
+    second = aho_relation_extraction(docs, plain).collect()
+    # 'a' and 'b' both occur in d2 (and inside d1's 'a|b'): rule q fires
+    assert {(r.conv_id, r.pred_text) for r in second} == {
+        ("d1", "q"), ("d2", "q")}

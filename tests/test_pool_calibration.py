@@ -93,3 +93,18 @@ def test_calibration_bins_exact(spark):
     assert out[9].n_docs == 2 and out[9].pos_rate == pytest.approx(1.0)
     assert out[4].pos_rate == 0.0
     assert out[0].mean_score == pytest.approx(0.065)
+
+
+def test_pool_vectors_zero_vector_survives_normalize(spark):
+    from waka_spark.operators.ann import pool_vectors
+
+    # opposite-sign vectors mean to exactly zero: normalize must pass
+    # the zero vector through, not emit x/0 -> an array of NULLs
+    df = spark.createDataFrame(
+        [("g", [1.0, -2.0]), ("g", [-1.0, 2.0]), ("h", [3.0, 4.0])],
+        "conv_id string, embedding array<double>",
+    )
+    got = {r["group_id"]: r["pooled"] for r in pool_vectors(
+        df, group_col="conv_id", normalize=True).collect()}
+    assert got["g"] == [0.0, 0.0]
+    assert got["h"] == [pytest.approx(0.6), pytest.approx(0.8)]

@@ -376,3 +376,44 @@ def test_streaming_tool_error_rates(spark, tmp_path):
         (0, "browser"): (1, 0, 0.0),
         (10, "search"): (1, 1, 1.0),
     }
+
+
+def test_stream_merge_edges_replay_same_checkpoint_is_idempotent(
+        spark, tmp_path):
+    """Crash-replay: re-delivering the same batch_id under the SAME
+    checkpoint must NOT merge twice (foreachBatch is at-least-once).
+    Deleting the streaming checkpoint while keeping its path simulates
+    the commit-then-crash window where the sink applied the batch but
+    the source never acknowledged it."""
+    import shutil
+
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.plans.versioned import VersionedTable
+    from waka_spark.sources import fixtures as fx
+    from waka_spark.streaming.ingest import run_stream_merge_edges
+
+    in_dir = tmp_path / "turns_rp"
+    edges_dir = tmp_path / "edges_rp"
+    ckpt = tmp_path / "ckpt_rp"
+    fx.bauhaus_transcripts(spark).write.parquet(str(in_dir))
+    pipe = bauhaus_pipeline(spark, use_scorers=False)
+
+    q = run_stream_merge_edges(
+        spark, str(in_dir), pipe,
+        edges_path=str(edges_dir), checkpoint_path=str(ckpt))
+    q.awaitTermination(300)
+    table = VersionedTable(str(edges_dir))
+    v1 = table.current_version()
+    first = table.read(spark, v1)
+    assert first.agg({"support": "sum"}).collect()[0][0] == 10
+    assert table.manifest(v1)["batch_id"] == 0
+
+    # same checkpoint PATH, lost checkpoint STATE -> batch 0 re-delivered
+    shutil.rmtree(str(ckpt))
+    q2 = run_stream_merge_edges(
+        spark, str(in_dir), pipe,
+        edges_path=str(edges_dir), checkpoint_path=str(ckpt))
+    q2.awaitTermination(300)
+    assert table.current_version() == v1  # no new snapshot committed
+    again = table.read(spark)
+    assert again.agg({"support": "sum"}).collect()[0][0] == 10

@@ -623,3 +623,23 @@ def test_hits_star_vs_pendant(spark):
     assert sum(r["hub"] for r in got.values()) == pytest.approx(1, abs=1e-4)
     assert sum(r["authority"] for r in got.values()) == pytest.approx(
         1, abs=1e-4)
+
+
+def test_asof_join_equal_ts_ties_deterministic(spark):
+    from waka_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 0, 1))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (7, dt.datetime(2024, 1, 1, 0, 0), 2.0),  # same (key, ts)
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    # greatest payload struct wins the tie — same answer on every run
+    for _ in range(3):
+        got = asof_join(
+            left, right.repartition(4), key="user_id",
+            right_payload=["value"]).collect()
+        assert len(got) == 1 and got[0]["value"] == 2.0

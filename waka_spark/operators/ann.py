@@ -505,9 +505,22 @@ def pool_vectors(
         )
     )
     if normalize:
-        pooled = pooled.withColumn(
-            "pooled",
-            F.transform(F.col("pooled"), lambda x: x / _norm(F.col("pooled"))),
+        # norm as its own column: computed ONCE per row (inlining
+        # _norm(pooled) inside the transform lambda re-evaluates the
+        # O(dim) sum per element — O(dim²)), and guarded so an all-zero
+        # pooled vector (opposite-sign turns cancelling) passes through
+        # as zeros instead of x/0.0 -> an array of NULLs that silently
+        # drops the group from every downstream cosine
+        pooled = (
+            pooled.withColumn("_nrm", _norm(F.col("pooled")))
+            .withColumn(
+                "pooled",
+                F.when(
+                    F.col("_nrm") > 0,
+                    F.transform(F.col("pooled"), lambda x: x / F.col("_nrm")),
+                ).otherwise(F.col("pooled")),
+            )
+            .drop("_nrm")
         )
     return pooled
 

@@ -41,24 +41,29 @@ def pii_scrub(
 ) -> DataFrame:
     """Redact emails / IPv4s / international phone numbers; count each.
 
-    Counts come from the original text (the three patterns are mutually
-    non-overlapping: '@' vs dotted quads vs leading '+'); redaction chains
-    email → ip → phone so placeholder tokens never re-match. Pure column
+    Counts are taken on the SAME progressively-redacted text the
+    replacement chain (email → ip → phone) sees, so every count equals
+    the number of placeholders actually inserted at that step. Counting
+    everything on the original text instead would over-report when the
+    patterns nest — PHONE_RE matches '+12345678901' inside
+    'a+12345678901@mail.com' (the '+' is legal in the email local part)
+    and IPV4_RE matches dotted quads inside 'user@1.2.3.4.com', even
+    though the email redaction already consumed both. Pure column
     expressions — no UDF, no shuffle.
     """
     text = F.col(text_col)
 
-    def n_matches(pattern: str) -> Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+    def n_matches(col: Column, pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
 
-    clean = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
-    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_matches(EMAIL_RE).alias("n_emails"),
-        n_matches(IPV4_RE).alias("n_ipv4"),
-        n_matches(PHONE_RE).alias("n_phones"),
+        n_matches(text, EMAIL_RE).alias("n_emails"),
+        n_matches(after_email, IPV4_RE).alias("n_ipv4"),
+        n_matches(after_ip, PHONE_RE).alias("n_phones"),
         clean.alias("clean_text"),
     )
 
@@ -289,13 +294,20 @@ def filter_verdict(
         F.round(punct_ratio, 6).alias("punct_ratio"),
     )
     rep = repetition_stats(df, id_col, text_col)
-    flags = base.join(rep, "doc_id").select(
+    # LEFT join: a doc whose normalized text has zero words produces no
+    # repetition_stats row (nothing to explode); an inner join would drop
+    # it from the verdict with no flag at all — the one un-attributable
+    # drop this operator exists to prevent. It is a length violation.
+    flags = base.join(rep, "doc_id", "left").select(
         "doc_id",
-        (~F.col("n_words").between(min_words, max_words)).cast("int")
+        (~F.coalesce(F.col("n_words"), F.lit(0))
+         .between(min_words, max_words)).cast("int")
         .alias("bad_length"),
-        (F.col("top_word_frac") > max_top_word_frac).cast("int")
+        (F.coalesce(F.col("top_word_frac"), F.lit(0.0))
+         > max_top_word_frac).cast("int")
         .alias("bad_top_word"),
-        (F.col("dup_bigram_frac") > max_dup_bigram_frac).cast("int")
+        (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))
+         > max_dup_bigram_frac).cast("int")
         .alias("bad_dup_bigram"),
         (F.col("punct_ratio") > max_punct_ratio).cast("int")
         .alias("bad_punct"),

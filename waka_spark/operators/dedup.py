@@ -56,17 +56,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def _parallel_floor(df: DataFrame, id_col: str) -> DataFrame:
     """Shingling/hashing is CPU-heavy narrow work that runs at *scan*
     parallelism — a small parquet reads as 1-2 partitions and strands the
-    other cores. Unconditionally repartition the (cheap, pre-explode) doc
-    rows to 2x cores: an explicit repartition is exempt from AQE
-    coalescing, so the CPU stage keeps its parallelism, and re-splitting
-    already-wide input is one cheap shuffle of narrow rows. (A conditional
-    on the observed partition count was rejected: pre-AQE
-    ``df.rdd.getNumPartitions()`` reports ``spark.sql.shuffle.partitions``
-    for any shuffled input — even when AQE will coalesce it to a handful
-    at runtime — and the ``df.rdd`` call itself forces an extra
-    plan-to-RDD conversion.)"""
+    other cores. Repartition the doc rows to 2x cores, but ONLY when the
+    optimizer's size estimate says the input is small enough that the
+    scan could have under-split (< cores x 128 MB, the default
+    maxPartitionBytes — below it the extra shuffle is also trivially
+    cheap). A LARGE input already splits to >= cores partitions at the
+    scan, and repartitioning it would exchange the full document-text
+    payload corpus-wide for zero parallelism gain — a multi-TB shuffle
+    per dedup pass at the 100 TB design point. (Deciding via pre-AQE
+    ``df.rdd.getNumPartitions()`` was rejected earlier: it reports
+    ``spark.sql.shuffle.partitions`` for any shuffled input and forces a
+    plan-to-RDD conversion; the plan-stats probe costs neither.)"""
     sc = df.sparkSession.sparkContext
-    return df.repartition(2 * sc.defaultParallelism, F.col(id_col))
+    floor = 2 * sc.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:  # stats unavailable -> assume small (safe default)
+        size_bytes = 0
+    if size_bytes >= sc.defaultParallelism * 128 * 1024 * 1024:
+        return df
+    return df.repartition(floor, F.col(id_col))
 
 
 def _doc_shingles(

@@ -28,6 +28,7 @@ relation_extraction.py:143-148.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -89,12 +90,17 @@ def aho_relation_extraction(documents: DataFrame, rules: DataFrame) -> DataFrame
         for r in rules.collect()
     ]
     surfaces = sorted({s for s, _, o in rule_list} | {o for _, _, o in rule_list})
-    cache_key = "|".join(surfaces)
+    # unambiguous key: a joined-string key collides when a surface itself
+    # contains the separator ({'a|b'} vs {'a','b'}) and would hand this
+    # rule table another table's automaton
+    cache_key = hashlib.md5(repr(surfaces).encode()).hexdigest()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from waka_spark.functions.aho import make_scanner
 
         if cache_key not in _AHO_CACHE:  # once per executor worker
+            if len(_AHO_CACHE) >= 8:  # bound worker memory across jobs
+                _AHO_CACHE.clear()
             _AHO_CACHE[cache_key] = make_scanner(surfaces)
         auto = _AHO_CACHE[cache_key]
 

@@ -92,9 +92,15 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
 
+    # _pl as the final sort key makes ties deterministic: among several
+    # right rows sharing (key, ts), the greatest payload struct wins —
+    # without it F.last() returns whichever duplicate the shuffle happened
+    # to order last, flipping between runs. (Payload columns must be
+    # orderable types for the tie guarantee; left rows are unaffected —
+    # _tag=1 already sorts them after every right row at the same ts.)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", "_pl")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -70,11 +70,16 @@ class VersionedTable:
         os.replace(tmp, os.path.join(self.path, "_CURRENT"))
 
     # -- commits ---------------------------------------------------------
-    def commit(self, df: DataFrame, n_files: Optional[int] = None) -> int:
+    def commit(self, df: DataFrame, n_files: Optional[int] = None,
+               meta: Optional[dict] = None) -> int:
         """Write ``df`` as the next snapshot and repoint. Returns the new
         version number. The data write happens BEFORE the pointer moves, so
         a crash mid-commit leaves the table on the old snapshot (readers
-        resolve the pointer first, like an Iceberg catalog swap)."""
+        resolve the pointer first, like an Iceberg catalog swap).
+        ``meta`` entries are recorded in the manifest — e.g. the streaming
+        bridge stamps ``batch_id`` so an at-least-once foreachBatch replay
+        can recognize an already-applied batch (Iceberg's
+        write-ahead-commit-property idiom)."""
         cur = self.current_version()
         version = 0 if cur is None else cur + 1
         out = df.coalesce(n_files) if n_files else df
@@ -87,6 +92,7 @@ class VersionedTable:
             "parent": cur,
             "rows": n_rows,
             "n_files": len(files),
+            **(meta or {}),
         }
         mtmp = os.path.join(self.path, f"_manifest_v{version}.json.tmp")
         with open(mtmp, "w") as fh:

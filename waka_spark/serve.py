@@ -69,6 +69,10 @@ class KGService:
             for r in out["final_entities"]
             .select("url", "label", "score").collect()
         ]
+        # the pipeline persists multi-consumer stages per run; a long-lived
+        # endpoint must release them per request or storage memory
+        # accumulates one pinned set per call
+        self.spark.catalog.clearCache()
         return {"conv_id": conv_id, "triples": triples, "entities": entities}
 
 

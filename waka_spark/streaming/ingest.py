@@ -267,6 +267,17 @@ def run_stream_merge_edges(
     while reading it (base) is undefined for parquet. Snapshot maintenance
     (time travel, rollback, expiry, compaction) comes with the table — see
     plans/versioned.py.
+
+    Replay safety: foreachBatch is at-least-once — if the driver dies
+    after ``table.commit`` but before the streaming checkpoint records
+    the batch, restart re-delivers the SAME batch_id. Each commit stamps
+    (checkpoint_path, batch_id) into the snapshot manifest; a batch whose
+    stamp matches the live snapshot's is skipped instead of merged twice
+    (which would permanently double that delta's support/n_convs). The
+    checkpoint path is part of the stamp because batch ids are only
+    monotone WITHIN one checkpoint lineage — a deliberately fresh
+    checkpoint re-reading the input restarts at 0 and must merge, not
+    skip.
     """
     from waka_spark.plans.incremental import edges_from_triples, merge_edges
     from waka_spark.plans.versioned import VersionedTable
@@ -274,14 +285,21 @@ def run_stream_merge_edges(
     table = VersionedTable(edges_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = table.current_version()
+        if cur is not None:
+            m = table.manifest(cur)
+            if (m.get("batch_id") == batch_id
+                    and m.get("checkpoint") == checkpoint_path):
+                return  # at-least-once replay of an already-committed batch
         out = pipeline.run(batch_df, resolve=True)
         delta = edges_from_triples(out["triples"])
-        cur = table.current_version()
         merged = (
             delta if cur is None
             else merge_edges(table.read(spark, cur), delta)
         )
-        table.commit(merged)
+        table.commit(
+            merged,
+            meta={"batch_id": batch_id, "checkpoint": checkpoint_path})
 
     stream = stream_transcripts(spark, input_path)
     writer = (
