@@ -2672,6 +2672,69 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), kgram=3, window=4)
 
 
+def q_kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(conversation, entity) salience ranking
+    (operators/linking.py mention_salience): mention mass linearly
+    discounted by first-appearance turn — the entity-card ordering layer
+    over the linker's dictionary join. Broadcast alias dim, in-row word
+    counts, two conv-keyed hash aggs."""
+    from waka_spark import schemas
+    from waka_spark.operators.linking import mention_salience
+
+    aliases = spark.createDataFrame(ALIASES, schemas.WD_ALIASES)
+    return mention_salience(
+        _transcripts_view(_t(spark, sf_dir, "documents")), aliases)
+
+
+def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG fact history (operators/temporal.py fact_history):
+    time-stamped (subj, pred, obj) assertions — synthesized
+    deterministically from doc_id with objects drifting every 120 ids —
+    collapsed into SCD-2 validity intervals keyed by the fact (subj,
+    pred). One (subj, pred) x ts shuffle; spans emitted as tz-free epoch
+    seconds."""
+    from waka_spark.operators.temporal import fact_history
+
+    k = F.col("doc_id") % 60
+    facts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (k % 20).cast("string")).alias("subj_url"),
+        F.concat(F.lit("p"), (k / 20).cast("int").cast("string"))
+        .alias("pred_url"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("doc_id") / 120).cast("long") % 4).cast("string"),
+        ).alias("obj_url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("doc_id")).alias("ts"),
+    )
+    out = fact_history(facts)
+    return out.select(
+        "subj", "pred", "obj",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+    )
+
+
+def q_conv_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-response hygiene profile (operators/transcripts.py
+    assistant_hygiene): apology / refusal / hedge markers are injected
+    deterministically on doc_id classes ACROSS ALL ROLES (6k+1 is odd,
+    10m+2 even — disjoint; %7=3 may stack with either but the CASE
+    priority keeps one marker per turn), so non-assistant marker turns
+    must be ignored by the role filter."""
+    from waka_spark.operators.transcripts import assistant_hygiene
+
+    docs = _t(spark, sf_dir, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 6 == 1, F.lit("Sorry, I was wrong. "))
+        .when(F.col("doc_id") % 10 == 2, F.lit("I cannot help with that. "))
+        .when(F.col("doc_id") % 7 == 3, F.lit("Perhaps we should retry. "))
+        .otherwise(F.lit(""))
+    )
+    docs = docs.withColumn("text", F.concat(marker, F.col("text")))
+    return assistant_hygiene(_role_transcripts(spark, sf_dir, docs=docs))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2841,6 +2904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "tool_error_streaks": q_tool_error_streaks,
         "stream_tool_errors": q_stream_tool_errors,
+        "kg_entity_salience": q_kg_entity_salience,
+        "kg_fact_history": q_kg_fact_history,
+        "conv_hygiene": q_conv_hygiene,
     }
 
 
@@ -6940,6 +7006,101 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS value_ffill,
                    (value IS NOT NULL) AS observed
             FROM grid LEFT JOIN daily USING (key, day)
+        """,
+        "kg_entity_salience": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id, CAST({_TURN} AS INT) AS turn_idx,
+                     text
+              FROM documents
+            ),
+            gaz(surface, url, frequency) AS (VALUES {_ALIAS_VALUES}),
+            m AS (
+              SELECT conv_id, turn_idx, url,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x = surface)) AS BIGINT) AS n
+              FROM t, gaz
+            ),
+            spans AS (
+              SELECT conv_id, CAST(max(turn_idx) AS BIGINT) AS max_t
+              FROM t GROUP BY conv_id
+            ),
+            per AS (
+              SELECT conv_id, url,
+                     CAST(sum(n) AS BIGINT) AS n_mentions,
+                     CAST(min(turn_idx) AS INT) AS first_turn,
+                     CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns
+              FROM m WHERE n > 0
+              GROUP BY conv_id, url
+            )
+            SELECT per.conv_id, url, n_mentions, first_turn, n_turns,
+                   round(n_mentions * (max_t + 1 - first_turn)
+                         / (max_t + 1.0), 6) AS salience
+            FROM per JOIN spans ON per.conv_id = spans.conv_id
+        """,
+        "kg_fact_history": """
+            WITH facts AS (
+              SELECT 'e' || CAST((doc_id % 60) % 20 AS VARCHAR) AS subj,
+                     'p' || CAST((doc_id % 60) // 20 AS VARCHAR) AS pred,
+                     'v' || CAST((doc_id // 120) % 4 AS VARCHAR) AS obj,
+                     to_timestamp(1700000000 + doc_id) AS ts
+              FROM documents
+            ),
+            ch AS (
+              SELECT *, lag(obj) OVER (
+                PARTITION BY subj, pred ORDER BY ts, obj) AS prev
+              FROM facts
+            ),
+            seg AS (
+              SELECT subj, pred, obj, ts,
+                     lead(ts) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj) AS nxt
+              FROM ch WHERE prev IS NULL OR obj <> prev
+            )
+            SELECT subj, pred, obj,
+                   CAST(epoch(ts) AS BIGINT) AS valid_from_s,
+                   CAST(epoch(nxt) AS BIGINT) AS valid_to_s
+            FROM seg
+        """,
+        "conv_hygiene": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 1 THEN 'Sorry, I was wrong. '
+                          WHEN doc_id % 10 = 2
+                            THEN 'I cannot help with that. '
+                          WHEN doc_id % 7 = 3
+                            THEN 'Perhaps we should retry. '
+                          ELSE '' END || text AS text
+              FROM documents
+            ),
+            t AS (
+              SELECT {_CONV} AS conv_id,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     lower(text) AS low
+              FROM d
+            ),
+            f AS (
+              SELECT conv_id,
+                     CASE WHEN regexp_matches(low,
+                       '\b(sorry|apologi[sz]e|apology|my mistake)')
+                       THEN 1 ELSE 0 END AS ap,
+                     CASE WHEN regexp_matches(low,
+                       '\b(i cannot|i can''t|i won''t|as an ai)\b')
+                       THEN 1 ELSE 0 END AS re,
+                     CASE WHEN regexp_matches(low,
+                       '\b(perhaps|possibly|might|it seems|i think)\b')
+                       THEN 1 ELSE 0 END AS he
+              FROM t WHERE role = 'assistant'
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_assistant,
+                   CAST(sum(ap) AS BIGINT) AS n_apology,
+                   CAST(sum(re) AS BIGINT) AS n_refusal,
+                   CAST(sum(he) AS BIGINT) AS n_hedge,
+                   round(sum(ap) * 1.0 / count(*), 6) AS apology_rate,
+                   round(sum(re) * 1.0 / count(*), 6) AS refusal_rate,
+                   round(sum(he) * 1.0 / count(*), 6) AS hedge_rate
+            FROM f GROUP BY conv_id
         """,
     }
 

@@ -143,6 +143,9 @@ EXTRAS = [
     "curation_calibration",
     "ann_conv_pool",
     "events_twap",
+    "kg_entity_salience",
+    "kg_fact_history",
+    "conv_hygiene",
 ]
 
 

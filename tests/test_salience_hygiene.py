@@ -1,0 +1,99 @@
+"""Unit tests for mention_salience (linking.py), fact_history
+(temporal.py), assistant_hygiene (transcripts.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def test_mention_salience_discounts_late_first_mention(spark):
+    from waka_spark.operators.linking import mention_salience
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "spark spark join"),
+            ("c1", 1, "nothing here"),
+            ("c1", 2, "join again join"),
+            ("c1", 3, "spark"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    aliases = spark.createDataFrame(
+        [("spark", "Q_spark"), ("join", "Q_join")],
+        "alias_key string, url string",
+    )
+    got = {r["url"]: r for r in mention_salience(turns, aliases).collect()}
+    s = got["Q_spark"]
+    # 3 mentions, first at turn 0 of 0..3 -> full weight
+    assert (s["n_mentions"], s["first_turn"], s["n_turns"]) == (3, 0, 2)
+    assert s["salience"] == pytest.approx(3 * 4 / 4.0)
+    j = got["Q_join"]
+    # 3 mentions but first appearance turn 0 (turn 0 has 'join') -> check
+    assert (j["n_mentions"], j["first_turn"], j["n_turns"]) == (3, 0, 2)
+
+
+def test_mention_salience_partial_word_no_match(spark):
+    from waka_spark.operators.linking import mention_salience
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "sparkle josparkin"), ("c1", 1, "spark")],
+        "conv_id string, turn_idx int, text string",
+    )
+    aliases = spark.createDataFrame(
+        [("spark", "Q_spark")], "alias_key string, url string")
+    got = mention_salience(turns, aliases).collect()
+    assert len(got) == 1
+    r = got[0]
+    # whole-word equality: 'sparkle' does not count; first_turn is 1
+    assert (r["n_mentions"], r["first_turn"]) == (1, 1)
+    assert r["salience"] == pytest.approx(1 * (2 - 1) / 2.0)
+
+
+def test_fact_history_collapses_runs_and_leaves_current_open(spark):
+    from waka_spark.operators.temporal import fact_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    facts = spark.createDataFrame(
+        [
+            ("e1", "p1", "a", ts(0)),
+            ("e1", "p1", "a", ts(1)),   # same obj -> no new interval
+            ("e1", "p1", "b", ts(2)),   # change -> closes 'a'
+            ("e1", "p1", "a", ts(3)),   # back to 'a' -> third interval
+            ("e2", "p1", "x", ts(0)),   # other key, single open interval
+        ],
+        "subj_url string, pred_url string, obj_url string, ts timestamp",
+    )
+    got = sorted(
+        fact_history(facts).collect(),
+        key=lambda r: (r["subj"], r["valid_from"]))
+    assert [(r["subj"], r["obj"]) for r in got] == [
+        ("e1", "a"), ("e1", "b"), ("e1", "a"), ("e2", "x")]
+    assert got[0]["valid_from"] == ts(0) and got[0]["valid_to"] == ts(2)
+    assert got[1]["valid_to"] == ts(3)
+    assert got[2]["valid_to"] is None and got[3]["valid_to"] is None
+
+
+def test_assistant_hygiene_role_filter_and_rates(spark):
+    from waka_spark.operators.transcripts import assistant_hygiene
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "Sorry about that"),          # ignored: user
+            ("c1", 1, "assistant", "SORRY, my mistake."),   # apology (case)
+            ("c1", 2, "assistant", "I cannot help with that"),  # refusal
+            ("c1", 3, "assistant", "all good"),
+            ("c1", 4, "assistant", "Perhaps it seems fine"),    # hedge
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = assistant_hygiene(t).collect()[0]
+    assert r["n_assistant"] == 4
+    assert (r["n_apology"], r["n_refusal"], r["n_hedge"]) == (1, 1, 1)
+    assert r["apology_rate"] == pytest.approx(0.25)
+    assert r["refusal_rate"] == pytest.approx(0.25)
+    assert r["hedge_rate"] == pytest.approx(0.25)

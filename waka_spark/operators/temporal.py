@@ -589,3 +589,51 @@ def resample_ffill(
             F.col("value").isNotNull().alias("observed"),
         )
     )
+
+
+def fact_history(
+    triples: DataFrame,
+    subj_col: str = "subj_url",
+    pred_col: str = "pred_url",
+    obj_col: str = "obj_url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal-KG fact history: collapse time-stamped (subj, pred, obj)
+    assertions into per-(subj, pred) validity intervals — the SCD-2 shape
+    of :func:`validity_intervals` keyed by the FACT key instead of a
+    single column. "What did the KG believe about (s, p) at time t"
+    becomes one BETWEEN probe against this table; the reference's KG is a
+    point-in-time snapshot (kg.py:142-183), so this is the longitudinal
+    layer a transcript corpus adds (conversations carry timestamps;
+    object values drift as the dialog progresses).
+
+    Same single-shuffle scale shape as ``validity_intervals``: lag to
+    detect object changes + lead to close intervals over ONE
+    (subj, pred) × ts exchange/sort; no self-join. Equal-ts ties break by
+    object value for run/engine determinism.
+
+    Output: (subj, pred, obj, valid_from, valid_to), ``valid_to`` NULL
+    while the assertion is current.
+    """
+    changes = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .withColumn(
+            "_prev",
+            F.lag("obj").over(
+                Window.partitionBy("subj", "pred").orderBy(
+                    F.col("_ts").asc(), F.col("obj").asc())),
+        )
+        .filter(F.col("_prev").isNull() | (F.col("obj") != F.col("_prev")))
+    )
+    w_seg = Window.partitionBy("subj", "pred").orderBy(
+        F.col("_ts").asc(), F.col("obj").asc())
+    return changes.select(
+        "subj", "pred", "obj",
+        F.col("_ts").alias("valid_from"),
+        F.lead("_ts").over(w_seg).alias("valid_to"),
+    )

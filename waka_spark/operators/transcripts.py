@@ -706,3 +706,55 @@ def boilerplate_turns(
         )
         .filter(F.col("n_convs") >= min_convs)
     )
+
+
+def assistant_hygiene(
+    transcripts: DataFrame,
+    apology_re: str = r"\b(sorry|apologi[sz]e|apology|my mistake)",
+    refusal_re: str = r"\b(i cannot|i can't|i won't|as an ai)\b",
+    hedge_re: str = r"\b(perhaps|possibly|might|it seems|i think)\b",
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assistant-response hygiene profile: per-conversation counts and
+    rates of apology / refusal / hedging turns — the "slop" gates an SFT
+    mix applies before training on agent transcripts (a conversation
+    that is 40% apologies teaches apologizing; a refusal-heavy one
+    teaches refusing). Patterns are matched case-insensitively via
+    ``lower(text)`` against RE2-compatible alternations, so the same
+    regex runs on any engine.
+
+    Scale shape: three ``rlike`` flags evaluated narrowly in-row on the
+    filtered ``role`` turns, then ONE hash agg keyed by conv_id
+    (map-side partials); zero joins, zero windows, whole-stage codegen
+    throughout.
+
+    Output: (conv_id, n_assistant, n_apology, n_refusal, n_hedge,
+    apology_rate, refusal_rate, hedge_rate).
+    """
+    low = F.lower(F.col(text_col))
+    flags = transcripts.filter(F.col(role_col) == role).select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        low.rlike(apology_re).cast("long").alias("_ap"),
+        low.rlike(refusal_re).cast("long").alias("_re"),
+        low.rlike(hedge_re).cast("long").alias("_he"),
+    )
+    agg = flags.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assistant"),
+        F.sum("_ap").alias("n_apology"),
+        F.sum("_re").alias("n_refusal"),
+        F.sum("_he").alias("n_hedge"),
+    )
+    return agg.select(
+        "conv_id", "n_assistant", "n_apology", "n_refusal", "n_hedge",
+        F.round(F.col("n_apology") / F.col("n_assistant"), 6)
+        .alias("apology_rate"),
+        F.round(F.col("n_refusal") / F.col("n_assistant"), 6)
+        .alias("refusal_rate"),
+        F.round(F.col("n_hedge") / F.col("n_assistant"), 6)
+        .alias("hedge_rate"),
+    )
