@@ -2735,6 +2735,18 @@ def q_conv_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assistant_hygiene(_role_transcripts(spark, sf_dir, docs=docs))
 
 
+def q_conv_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank turn salience (operators/transcripts.py textrank_turns):
+    adjacent-turn Jaccard similarity graph + WEIGHTED PageRank
+    (operators/graph.py pagerank with weight_col) over the union of all
+    per-conversation graphs in one global fixed-iteration pass — node ids
+    are conv:turn composites, so no per-conv loop."""
+    from waka_spark.operators.transcripts import textrank_turns
+
+    return textrank_turns(
+        _transcripts_view(_t(spark, sf_dir, "documents")), n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2907,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": q_kg_entity_salience,
         "kg_fact_history": q_kg_fact_history,
         "conv_hygiene": q_conv_hygiene,
+        "conv_textrank": q_conv_textrank,
     }
 
 
@@ -3373,6 +3386,66 @@ def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, round(rank, 6) AS pagerank FROM r{n_iter}"
     )
+
+def _textrank_sql(n_iter: int = 2, damping: float = 0.85) -> str:
+    """Weighted PageRank over the adjacent-turn Jaccard graph as chained
+    CTEs — the SQL mirror of operators/transcripts.py:textrank_turns.
+    Same DOUBLE discipline as _pagerank_sql; contribution sums are 2-term
+    (path graph), so double summation is order-independent."""
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"(CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM g_n)"
+    ctes = [
+        f"""t AS (
+  SELECT {_CONV} AS conv_id, CAST({_TURN} AS INT) AS turn_idx,
+         list_distinct(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS toks
+  FROM documents
+)""",
+        """p AS (
+  SELECT conv_id, turn_idx, toks,
+         lag(toks) OVER w AS prev, lag(turn_idx) OVER w AS prev_idx
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)""",
+        """ed AS (
+  SELECT conv_id || ':' || CAST(prev_idx AS VARCHAR) AS src,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst,
+         CAST(len(list_intersect(toks, prev)) AS DOUBLE)
+           / len(list_distinct(list_concat(toks, prev))) AS w
+  FROM p
+  WHERE prev IS NOT NULL
+    AND len(list_distinct(list_concat(toks, prev))) > 0
+)""",
+        """g_edges AS (
+  SELECT src, dst, w FROM ed WHERE w > 0
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM ed WHERE w > 0
+)""",
+        "g_nodes AS (SELECT DISTINCT src AS node FROM g_edges)",
+        "g_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g_nodes)",
+        "g_deg AS (SELECT src, sum(w) AS outdeg FROM g_edges GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM g_n) "
+        "AS rank FROM g_nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node,
+         {base} + {d} * coalesce(s.contrib, CAST(0 AS DOUBLE)) AS rank
+  FROM g_nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / dg.outdeg) AS contrib
+    FROM g_edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN g_deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s ON nd.node = s.node
+)""")
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT string_split(node, ':')[1] AS conv_id, "
+        f"CAST(string_split(node, ':')[2] AS INT) AS turn_idx, "
+        f"round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
 
 def _label_prop_sql(n_iter: int = 5) -> str:
     """Fixed-round synchronous label propagation as chained CTEs (one per
@@ -7102,6 +7175,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(he) * 1.0 / count(*), 6) AS hedge_rate
             FROM f GROUP BY conv_id
         """,
+        "conv_textrank": _textrank_sql(n_iter=2, damping=0.85),
     }
 
 

@@ -146,6 +146,7 @@ EXTRAS = [
     "kg_entity_salience",
     "kg_fact_history",
     "conv_hygiene",
+    "conv_textrank",
 ]
 
 

@@ -97,3 +97,35 @@ def test_assistant_hygiene_role_filter_and_rates(spark):
     assert r["apology_rate"] == pytest.approx(0.25)
     assert r["refusal_rate"] == pytest.approx(0.25)
     assert r["hedge_rate"] == pytest.approx(0.25)
+
+
+def test_weighted_pagerank_splits_rank_by_edge_weight(spark):
+    from waka_spark.operators.graph import pagerank
+
+    und = [("a", "b", 1.0), ("b", "c", 3.0)]
+    edges = spark.createDataFrame(
+        und + [(d, s, w) for s, d, w in und],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(
+        edges, n_iter=1, weight_col="w").collect()}
+    # hand-computed single round, d=0.85: outdeg a=1, b=4, c=3
+    assert got["a"] == pytest.approx(0.05 + 0.85 / 12)
+    assert got["b"] == pytest.approx(0.05 + 0.85 * 2 / 3)
+    assert got["c"] == pytest.approx(0.05 + 0.85 * 0.25)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_textrank_drops_zero_similarity_turns(spark):
+    from waka_spark.operators.transcripts import textrank_turns
+
+    t = spark.createDataFrame(
+        [("c1", 0, "a b"), ("c1", 1, "b c"), ("c1", 2, "x y")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r["turn_idx"]: r["rank"] for r in textrank_turns(
+        t, n_iter=2).collect()}
+    # jaccard(t0,t1)=1/3 > 0; jaccard(t1,t2)=0 -> t2 isolated, dropped;
+    # the remaining symmetric 2-node graph is rank-stable at 1/2 each
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(0.5) and got[1] == pytest.approx(0.5)

@@ -56,6 +56,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node, rank).
 
@@ -65,20 +66,33 @@ def pagerank(
     graphs every node has out-edges so the question is moot. Rank mass is
     therefore conserved exactly on symmetric graphs: sum(rank) == 1.
 
-    Each round: contrib(v) = Σ_{u→v} rank(u)/outdeg(u);
-    rank'(v) = (1-d)/N + d·contrib(v). One join + one agg per round over
-    (node, rank) pairs only; ``localCheckpoint`` flattens lineage so round
-    t+1's plan does not replay rounds 1..t.
+    Each round: contrib(v) = Σ_{u→v} rank(u)·w(u,v)/wdeg(u);
+    rank'(v) = (1-d)/N + d·contrib(v). Unweighted (``weight_col=None``)
+    this is the classic rank/outdeg split; with ``weight_col`` it is the
+    TextRank / weighted-PageRank generalization (Mihalcea & Tarau,
+    EMNLP'04) — each node splits its rank among out-neighbors
+    proportionally to edge weight. Edges with non-positive weight should
+    be filtered by the caller (a zero-weight-only node would divide by
+    zero; this operator treats presence of an edge as w > 0). One join +
+    one agg per round over (node, rank) pairs only; ``localCheckpoint``
+    flattens lineage so round t+1's plan does not replay rounds 1..t.
     """
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
+    w_expr = (
+        F.lit(1.0) if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
     # EAGER: nodes below scans e twice (union branches) in one job; a lazy
     # persist makes those sibling stages race to populate the cold cache
     # and each recompute the upstream edge build (see random_walks)
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w_expr.alias("_w")))
+    deg = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("outdeg")
+        if weight_col is None else F.sum("_w").alias("outdeg"))
     out_edges = e.join(deg, "src").persist()
 
     nodes = (
@@ -96,7 +110,7 @@ def pagerank(
             out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * F.col("_w") / F.col("outdeg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))

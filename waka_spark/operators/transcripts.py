@@ -758,3 +758,72 @@ def assistant_hygiene(
         F.round(F.col("n_hedge") / F.col("n_assistant"), 6)
         .alias("hedge_rate"),
     )
+
+
+def textrank_turns(
+    transcripts: DataFrame,
+    n_iter: int = 2,
+    damping: float = 0.85,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank turn salience (Mihalcea & Tarau, EMNLP'04) per
+    conversation: build the adjacent-turn lexical-similarity graph (the
+    same in-row token-set Jaccard as :func:`turn_cohesion`) and run
+    WEIGHTED PageRank over the union of all per-conversation graphs at
+    once — node ids are (conv, turn) composites, so one global
+    fixed-iteration pass ranks every conversation's turns without a
+    per-conv loop or grouped iteration. The extractive-summary signal
+    for long transcripts: high-rank turns are the ones their neighbors
+    keep sharing vocabulary with.
+
+    Zero-similarity adjacencies are NOT edges (w = 0 carries no rank and
+    would poison the out-weight normalizer); turns isolated by that
+    filter simply drop from the ranking — callers left-join if they want
+    NULL ranks for them.
+
+    Scale shape: edge build = ONE conv-keyed window (lag of the token
+    array) + narrow array intersect/union — no self-join, no explode;
+    then the :func:`waka_spark.operators.graph.pagerank` loop, whose
+    per-round shuffle state is (node, rank) pairs only. On a path graph
+    every node has ≤ 2 neighbors, so per-round contribution sums are
+    2-term — deterministic in IEEE double regardless of partitioning.
+
+    Output: (conv_id, turn_idx, rank), rank rounded to 6.
+    """
+    from waka_spark.operators.graph import pagerank
+
+    norm = _norm_text(text_col)
+    toks = F.array_distinct(F.filter(F.split(norm, " "), lambda w: w != ""))
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col))
+    pairs = (
+        transcripts.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            toks.alias("_toks"),
+        )
+        .withColumn("_prev", F.lag("_toks").over(w))
+        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    n_union = F.size(F.array_union("_toks", "_prev"))
+    node = F.concat_ws(":", "conv_id", "turn_idx")
+    prev_node = F.concat_ws(":", "conv_id", "_prev_idx")
+    ed = pairs.select(
+        prev_node.alias("src"),
+        node.alias("dst"),
+        F.when(
+            n_union > 0,
+            F.size(F.array_intersect("_toks", "_prev")) / n_union,
+        ).alias("w"),
+    ).filter(F.col("w") > 0)
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    ranks = pagerank(edges, n_iter=n_iter, damping=damping, weight_col="w")
+    parts = F.split("node", ":")
+    return ranks.select(
+        parts.getItem(0).alias("conv_id"),
+        parts.getItem(1).cast("int").alias("turn_idx"),
+        F.round("rank", 6).alias("rank"),
+    )
