@@ -2747,6 +2747,45 @@ def q_conv_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _transcripts_view(_t(spark, sf_dir, "documents")), n_iter=2)
 
 
+def q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot (operators/temporal.py as_of_snapshot
+    over fact_history): the facts valid at mid-corpus instant
+    t = 1700000000 + 250s — half-open [from, to) semantics with NULL
+    valid_to = current; both predicates are scan filters."""
+    from waka_spark.operators.temporal import as_of_snapshot, fact_history
+
+    k = F.col("doc_id") % 60
+    facts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (k % 20).cast("string")).alias("subj_url"),
+        F.concat(F.lit("p"), (k / 20).cast("int").cast("string"))
+        .alias("pred_url"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("doc_id") / 120).cast("long") % 4).cast("string"),
+        ).alias("obj_url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("doc_id")).alias("ts"),
+    )
+    import datetime as _dt
+
+    at = _dt.datetime.fromtimestamp(1700000250, tz=_dt.timezone.utc)
+    snap = as_of_snapshot(fact_history(facts), at)
+    return snap.select(
+        "subj", "pred", "obj",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+    )
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py adamic_adar) over
+    the shared SimHash similarity graph: IDF-weighted common-neighbor
+    scores for non-adjacent pairs — the smooth hub discount
+    common_neighbors' max_hub_degree only approximates."""
+    from waka_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_simhash_graph(spark, sf_dir), min_common=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2920,6 +2959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_history": q_kg_fact_history,
         "conv_hygiene": q_conv_hygiene,
         "conv_textrank": q_conv_textrank,
+        "kg_as_of": q_kg_as_of,
+        "graph_adamic_adar": q_graph_adamic_adar,
     }
 
 
@@ -7176,6 +7217,51 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY conv_id
         """,
         "conv_textrank": _textrank_sql(n_iter=2, damping=0.85),
+        "kg_as_of": """
+            WITH facts AS (
+              SELECT 'e' || CAST((doc_id % 60) % 20 AS VARCHAR) AS subj,
+                     'p' || CAST((doc_id % 60) // 20 AS VARCHAR) AS pred,
+                     'v' || CAST((doc_id // 120) % 4 AS VARCHAR) AS obj,
+                     to_timestamp(1700000000 + doc_id) AS ts
+              FROM documents
+            ),
+            ch AS (
+              SELECT *, lag(obj) OVER (
+                PARTITION BY subj, pred ORDER BY ts, obj) AS prev
+              FROM facts
+            ),
+            seg AS (
+              SELECT subj, pred, obj, ts,
+                     lead(ts) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj) AS nxt
+              FROM ch WHERE prev IS NULL OR obj <> prev
+            )
+            SELECT subj, pred, obj,
+                   CAST(epoch(ts) AS BIGINT) AS valid_from_s
+            FROM seg
+            WHERE ts <= to_timestamp(1700000250)
+              AND (nxt IS NULL OR nxt > to_timestamp(1700000250))
+        """,
+        "graph_adamic_adar": f"""
+            WITH {_SIMHASH_GRAPH_CTES},
+            aa AS (
+              SELECT ea.src AS a, eb.src AS b,
+                     CAST(count(*) AS BIGINT) AS n_common,
+                     round(sum(CAST(1 AS DOUBLE) / ln(dg.outdeg)), 6)
+                       AS aa_score
+              FROM g_edges ea
+              JOIN g_edges eb ON ea.dst = eb.dst AND ea.src < eb.src
+              JOIN g_deg dg ON dg.src = ea.dst
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            ex AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM g_edges
+            )
+            SELECT aa.a AS node_a, aa.b AS node_b, n_common, aa_score
+            FROM aa LEFT JOIN ex ON aa.a = ex.a AND aa.b = ex.b
+            WHERE ex.a IS NULL
+        """,
     }
 
 

@@ -147,6 +147,8 @@ EXTRAS = [
     "kg_fact_history",
     "conv_hygiene",
     "conv_textrank",
+    "kg_as_of",
+    "graph_adamic_adar",
 ]
 
 

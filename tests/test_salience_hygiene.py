@@ -129,3 +129,49 @@ def test_textrank_drops_zero_similarity_turns(spark):
     # the remaining symmetric 2-node graph is rank-stable at 1/2 each
     assert set(got) == {0, 1}
     assert got[0] == pytest.approx(0.5) and got[1] == pytest.approx(0.5)
+
+
+def test_as_of_snapshot_half_open_and_current(spark):
+    from waka_spark.operators.temporal import as_of_snapshot, fact_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    facts = spark.createDataFrame(
+        [
+            ("e1", "p1", "a", ts(0)),
+            ("e1", "p1", "b", ts(2)),
+            ("e2", "p1", "x", ts(1)),
+        ],
+        "subj_url string, pred_url string, obj_url string, ts timestamp",
+    )
+    hist = fact_history(facts)
+    # at ts(2): e1's 'a' interval is [0,2) -> excluded (half-open), 'b'
+    # starts exactly at 2 -> included; e2's open 'x' interval included
+    got = {(r["subj"], r["obj"]) for r in as_of_snapshot(
+        hist, ts(2)).collect()}
+    assert got == {("e1", "b"), ("e2", "x")}
+    # before anything existed
+    assert as_of_snapshot(hist, ts(0) - dt.timedelta(hours=1)).count() == 0
+
+
+def test_adamic_adar_weights_rare_shared_neighbors(spark):
+    from waka_spark.operators.graph import adamic_adar, symmetrize
+    import math
+
+    # a-y1-b and a-y2-b: y1 has degree 2, y2 degree 3 (extra edge to c);
+    # pair (a,b) scores 1/ln2 + 1/ln3; (a,c)/(b,c) share only y2
+    und = [("a", "y1"), ("b", "y1"), ("a", "y2"), ("b", "y2"), ("c", "y2")]
+    edges = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    got = {(r["node_a"], r["node_b"]): r for r in adamic_adar(
+        edges, min_common=1).collect()}
+    ab = got[("a", "b")]
+    assert ab["n_common"] == 2
+    assert ab["aa_score"] == pytest.approx(
+        round(1 / math.log(2) + 1 / math.log(3), 6))
+    assert got[("a", "c")]["aa_score"] == pytest.approx(
+        round(1 / math.log(3), 6))
+    # y1-y2 share a and b (both degree 2 in the symmetric graph)
+    assert got[("y1", "y2")]["n_common"] == 2

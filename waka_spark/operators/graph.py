@@ -764,3 +764,65 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: non-adjacent
+    pairs scored Σ_{y ∈ Γ(a)∩Γ(b)} 1/ln(deg(y)) — the IDF-weighted
+    refinement of :func:`common_neighbors` (a shared neighbor that is
+    adjacent to everything carries ~no signal; a rare shared neighbor
+    carries a lot). The smooth counterpart of the hard ``max_hub_degree``
+    cut, and the stronger default ranking for entity-consolidation
+    candidates on Zipf-skewed KGs.
+
+    Same scale shape as ``common_neighbors`` — wedge self-join through
+    the mid node (irreducibly O(d²) per mid; ``max_hub_degree`` excludes
+    pathological hubs from wedge generation, and a capped-out mid would
+    have contributed only 1/ln(d) ≈ 0 anyway), plus ONE extra broadcast-
+    sized join attaching deg(mid) before the pair agg. deg(mid) ≥ 2 for
+    any wedge mid (two distinct neighbors), so ln(deg) ≥ ln 2 > 0 —
+    no division guard needed.
+
+    Output: (node_a, node_b, n_common, aa_score), node_a < node_b,
+    pairs with ≥ ``min_common`` shared neighbors, score rounded 6.
+    """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    # EAGER: e feeds wedge sides, the degree agg, and the adjacency
+    # anti-join — sibling branches of one action (see random_walks)
+    e = TrackedCheckpoints(edges.sparkSession).checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("dst").agg(F.count("*").cast("long").alias("_d"))
+    mids = e.join(deg, "dst")
+    if max_hub_degree is not None:
+        mids = mids.filter(F.col("_d") <= max_hub_degree)
+    left = mids.select(
+        F.col("dst").alias("y"), F.col("src").alias("a"), "_d")
+    right = e.select(F.col("dst").alias("y"), F.col("src").alias("b"))
+    pairs = (
+        left.join(right, "y")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log("_d")), 6).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    existing = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return (
+        pairs.join(existing, ["a", "b"], "left_anti")
+        .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+                "n_common", "aa_score")
+    )

@@ -637,3 +637,27 @@ def fact_history(
         F.col("_ts").alias("valid_from"),
         F.lead("_ts").over(w_seg).alias("valid_to"),
     )
+
+
+def as_of_snapshot(
+    history: DataFrame,
+    at,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time reconstruction over an SCD-2 interval table (the
+    read side of :func:`validity_intervals` / :func:`fact_history`):
+    rows whose validity interval covers ``at`` — i.e. the state of the
+    world, or of the KG, as of that instant. Interval semantics are
+    half-open ``[valid_from, valid_to)`` with NULL ``valid_to`` = still
+    current, matching the writers.
+
+    Pure scan filter: both predicates push into the parquet scan of a
+    materialized history table, so a snapshot costs one pruned scan —
+    this is the query shape the interval materialization exists to make
+    cheap (vs sort-and-scan of raw events per probe).
+    """
+    return history.filter(
+        (F.col(from_col) <= F.lit(at))
+        & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(at)))
+    )
