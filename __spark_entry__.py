@@ -2786,6 +2786,22 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_simhash_graph(spark, sf_dir), min_common=3)
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank)
+    seeded at the doc_id % 97 == 0 nodes of the SimHash similarity graph:
+    random walk with restart into the seed set — entity-centric relevance
+    vs graph_pagerank's global importance. 5 rounds, same per-round
+    join+agg shape."""
+    from waka_spark.operators.graph import personalized_pagerank
+
+    g = _simhash_graph(spark, sf_dir)
+    seeds = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")).filter(F.col("node") % 97 == 0)
+    ranks = personalized_pagerank(g, seeds, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("ppr"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2961,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_textrank": q_conv_textrank,
         "kg_as_of": q_kg_as_of,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -3485,6 +3502,41 @@ def _textrank_sql(n_iter: int = 2, damping: float = 0.85) -> str:
         f"SELECT string_split(node, ':')[1] AS conv_id, "
         f"CAST(string_split(node, ':')[2] AS INT) AS turn_idx, "
         f"round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Personalized PageRank as chained CTEs — the SQL mirror of
+    operators/graph.py:personalized_pagerank over the SimHash graph,
+    seeded at node %% 97 == 0. Same DOUBLE discipline as _pagerank_sql."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [
+        "seeds AS (SELECT node FROM g_nodes WHERE node % 97 = 0)",
+        "s_n AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds)",
+        """s AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) / (SELECT ns FROM s_n) END AS sv
+  FROM g_nodes n LEFT JOIN seeds sd ON n.node = sd.node
+)""",
+        "r0 AS (SELECT node, sv AS rank FROM s)",
+    ]
+    base = f"(CAST(1 AS DOUBLE) - {d}) * s.sv"
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT s.node,
+         {base} + {d} * coalesce(c.contrib, CAST(0 AS DOUBLE)) AS rank
+  FROM s LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS contrib
+    FROM g_edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN g_deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON s.node = c.node
+)""")
+    return (
+        f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
+        f"SELECT node AS doc_id, round(rank, 6) AS ppr FROM r{n_iter}"
     )
 
 
@@ -7242,6 +7294,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts <= to_timestamp(1700000250)
               AND (nxt IS NULL OR nxt > to_timestamp(1700000250))
         """,
+        "graph_ppr": _ppr_sql(n_iter=5, damping=0.85),
         "graph_adamic_adar": f"""
             WITH {_SIMHASH_GRAPH_CTES},
             aa AS (

@@ -149,6 +149,7 @@ EXTRAS = [
     "conv_textrank",
     "kg_as_of",
     "graph_adamic_adar",
+    "graph_ppr",
 ]
 
 

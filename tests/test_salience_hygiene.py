@@ -175,3 +175,31 @@ def test_adamic_adar_weights_rare_shared_neighbors(spark):
         round(1 / math.log(3), 6))
     # y1-y2 share a and b (both degree 2 in the symmetric graph)
     assert got[("y1", "y2")]["n_common"] == 2
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    from waka_spark.operators.graph import personalized_pagerank, symmetrize
+
+    # path a-b-c-d-e, seed at a: the seed dominates, and rank decays
+    # with distance among the equal-degree interior nodes b > c > d.
+    # (The degree-1 endpoint e is deliberately NOT in the chain: an
+    # endpoint accumulates its neighbor's half-split without splitting
+    # back, so rank(e) > rank(d) is correct PPR behavior.)
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    seeds = spark.createDataFrame([("a",), ("zz",)], "node string")  # zz absent
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(
+        edges, seeds, n_iter=8).collect()}
+    assert got["a"] == max(got.values())
+    assert got["b"] > got["c"] > got["d"]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    from waka_spark.operators.graph import personalized_pagerank, symmetrize
+
+    edges = symmetrize(spark.createDataFrame(
+        [("a", "b")], "doc_a string, doc_b string"))
+    seeds = spark.createDataFrame([("zz",)], "node string")
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(edges, seeds, n_iter=1)

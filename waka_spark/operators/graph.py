@@ -826,3 +826,98 @@ def adamic_adar(
         .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
                 "n_common", "aa_score")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart INTO the seed set
+    — rank'(v) = (1−d)·s(v) + d·Σ_{u→v} rank(u)·w/wdeg(u), where s is
+    uniform over the seeds (and 0 elsewhere) instead of uniform over all
+    nodes. THE entity-centric relevance score: seeded with one
+    conversation's linked entities it ranks the whole KG by relevance to
+    that conversation (recommendation, related-entity retrieval, locally
+    relevant subgraph extraction) — :func:`pagerank`'s global importance
+    can't express "near THESE nodes".
+
+    Seeds outside the graph's node set are ignored (left-semi join);
+    normalization is over the seeds actually present, so restart mass
+    sums to 1. Rank init = s, so round counts compare to power-iteration
+    convergence from the restart distribution.
+
+    Scale shape per round: identical to :func:`pagerank` — one
+    co-partitioned join + one hash agg over (node, rank) pairs, eager
+    round checkpoints with release (plans/iterate.py); the seed vector is
+    one extra (node, s) column carried on the persisted nodes frame. The
+    seed count is a single O(1) driver action.
+
+    Output: (node, rank).
+    """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
+    w_expr = (
+        F.lit(1.0) if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    e = ck.checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w_expr.alias("_w")))
+    deg = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("outdeg")
+        if weight_col is None else F.sum("_w").alias("outdeg"))
+    out_edges = e.join(deg, "src").persist()
+
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = all_nodes.join(
+        seeds.select(F.col(seed_col).alias("node")), "node", "left_semi"
+    ).persist()
+    n_s = seed_nodes.count()
+    if n_s == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    nodes = (
+        all_nodes.join(
+            seed_nodes.withColumn("_sv", F.lit(1.0 / n_s)), "node", "left")
+        .select("node", F.coalesce("_sv", F.lit(0.0)).alias("_sv"))
+        .persist()
+    )
+
+    ranks = ck.checkpoint(nodes.select("node", F.col("_sv").alias("rank")))
+    restart = F.lit(1.0 - damping) * F.col("_sv")
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("_w") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = ck.checkpoint(
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    restart
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ck.release(ranks)
+        ranks = new_ranks
+    ck.release_all_except(ranks)
+    for helper in (out_edges, nodes, seed_nodes):
+        helper.unpersist(False)
+    return ranks
