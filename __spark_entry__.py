@@ -2802,6 +2802,20 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("ppr"))
 
 
+def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/ann.py mmr_topk): per query,
+    greedy k=3 selection maximizing 0.7*relevance - 0.3*max-sim-to-
+    selected over the top-10 cosine candidates — the RAG diversification
+    pass; greedy loop runs on the candidate table only."""
+    from waka_spark.operators.ann import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return mmr_topk(emb, queries, k=3, n_candidates=10, lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2978,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_as_of": q_kg_as_of,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_ppr": q_graph_ppr,
+        "ann_mmr": q_ann_mmr,
     }
 
 
@@ -3537,6 +3552,72 @@ def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
         f"SELECT node AS doc_id, round(rank, 6) AS ppr FROM r{n_iter}"
+    )
+
+
+def _mmr_sql(k: int = 3, n_candidates: int = 10, lam: float = 0.7) -> str:
+    """Greedy MMR rounds as chained CTEs — the SQL mirror of
+    operators/ann.py:mmr_topk. The score combination runs in exact
+    integer micro-units (lam snapped to tenths) because a float
+    lam*(round-6 sim) lands on exact decimal halves at the 7th digit,
+    where Java's shortest-repr HALF_UP round and DuckDB's binary round
+    systematically disagree; integer math has no halves."""
+    ln = int(round(lam * 10))
+    mn = 10 - ln
+    rel_u = "CAST(round(relevance * 1000000) AS BIGINT)"
+    ctes = [
+        """emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 3)",
+        f"""cand AS (
+  SELECT q_id, vec_id, v, relevance FROM (
+    SELECT q.q_id, e.vec_id, e.v,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS relevance,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                      e.vec_id ASC) AS rn
+    FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= {n_candidates}
+)""",
+        f"""s1 AS (
+  SELECT q_id, vec_id, v, relevance,
+         {ln} * {rel_u} AS score_u, 1 AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY {ln} * {rel_u} DESC, vec_id ASC) AS p
+    FROM cand
+  ) WHERE p = 1
+)""",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(f"""pen{r} AS (
+  SELECT c.q_id, c.vec_id, any_value(c.v) AS v,
+         any_value(c.relevance) AS relevance,
+         max(CAST(round(round(list_cosine_similarity(c.v, s.v), 6)
+                        * 1000000) AS BIGINT)) AS pen_u
+  FROM cand c JOIN s{r - 1} s ON c.q_id = s.q_id
+  WHERE NOT EXISTS (SELECT 1 FROM s{r - 1} x
+                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+  GROUP BY c.q_id, c.vec_id
+)""")
+        ctes.append(f"""w{r} AS (
+  SELECT q_id, vec_id, v, relevance,
+         {ln} * {rel_u} - {mn} * pen_u AS score_u, {r} AS mmr_rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY {ln} * {rel_u} - {mn} * pen_u DESC, vec_id ASC) AS p
+    FROM pen{r}
+  ) WHERE p = 1
+)""")
+        ctes.append(
+            f"s{r} AS (SELECT * FROM s{r - 1} UNION ALL "
+            f"SELECT * FROM w{r})")
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT q_id, vec_id, mmr_rank, relevance, "
+        f"score_u / 10000000.0 AS mmr_score FROM s{k}"
     )
 
 
@@ -7295,6 +7376,7 @@ def oracle_sql() -> dict[str, str]:
               AND (nxt IS NULL OR nxt > to_timestamp(1700000250))
         """,
         "graph_ppr": _ppr_sql(n_iter=5, damping=0.85),
+        "ann_mmr": _mmr_sql(k=3, n_candidates=10, lam=0.7),
         "graph_adamic_adar": f"""
             WITH {_SIMHASH_GRAPH_CTES},
             aa AS (

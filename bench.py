@@ -150,6 +150,7 @@ EXTRAS = [
     "kg_as_of",
     "graph_adamic_adar",
     "graph_ppr",
+    "ann_mmr",
 ]
 
 

@@ -203,3 +203,30 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     seeds = spark.createDataFrame([("zz",)], "node string")
     with pytest.raises(ValueError, match="no seed"):
         personalized_pagerank(edges, seeds, n_iter=1)
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark):
+    from waka_spark.operators.ann import mmr_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # exact duplicate of 1
+            (3, [0.8, 0.6]),   # less relevant but diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "q_id long, q_vec array<double>")
+    got = {r["mmr_rank"]: r for r in mmr_topk(
+        emb, queries, k=2, n_candidates=3, lam=0.3).collect()}
+    # rank 1: relevance tie (1 vs 2) -> smaller vec_id; rank 2: the
+    # duplicate scores 0.3*1 - 0.7*1 = -0.4, the diverse vector
+    # 0.3*0.8 - 0.7*0.8 = -0.32 -> diversity wins under low lambda
+    assert got[1]["vec_id"] == 1
+    assert got[2]["vec_id"] == 3
+    assert got[2]["mmr_score"] == pytest.approx(-0.32)
+    # high lambda flips it: pure relevance keeps the duplicate
+    got_hi = {r["mmr_rank"]: r["vec_id"] for r in mmr_topk(
+        emb, queries, k=2, n_candidates=3, lam=0.9).collect()}
+    assert got_hi[2] == 2

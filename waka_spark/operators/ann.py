@@ -1252,3 +1252,113 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("q_id", "vec_id", "dist", "rank")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily select ``k`` results maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)`` — relevance discounted
+    by redundancy against what is already selected. THE diversification
+    pass a RAG retrieval stack runs after ANN: plain top-k returns k
+    near-duplicates of the best hit; MMR returns the best hit plus its
+    best non-redundant complements.
+
+    Scale shape: stage 1 is the :func:`cosine_topk` broadcast-scan shape
+    (corpus never shuffles; per-query window caps candidates at
+    ``n_candidates``). The greedy loop then runs ``k`` rounds over the
+    CANDIDATE table only — (queries × n_candidates) rows, corpus-size-
+    independent — each round one anti-join (drop selected), one equi-join
+    on q_id against the ≤ r-row-per-query selected set with an in-row
+    cosine, one (q_id, vec_id) max-agg, one per-query argmax window.
+    Candidate and selected frames are eagerly checkpointed per round
+    (plans/iterate.py) so round r never replays rounds 1..r-1.
+
+    Determinism: relevance and pairwise sims are rounded to 6; the MMR
+    combination then runs in exact INTEGER micro-units — ``λ`` snaps to
+    tenths (λ_num = round(10λ)) and score_u = λ_num·rel_u −
+    (10−λ_num)·pen_u over the 10^6-scaled sims — because a float
+    ``λ·(round-6 value)`` lands on exact decimal halves at the 7th digit
+    (…5·10⁻⁷) SYSTEMATICALLY, where Java's shortest-repr HALF_UP round
+    and a binary-value round disagree. Integer math has no halves to
+    round; argmax ties break on vec_id asc; the emitted ``mmr_score`` =
+    score_u / 10^7 is one identical IEEE division on both engines.
+
+    Output: (q_id, vec_id, mmr_rank, relevance, mmr_score).
+    """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    lam_num = int(round(lam * 10))
+    ck = TrackedCheckpoints(embeddings.sparkSession)
+    joined = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"),
+    ).crossJoin(
+        F.broadcast(queries.select(
+            F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_qv")))
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w_rel = Window.partitionBy("q_id").orderBy(
+        F.col("relevance").desc(), F.col("vec_id").asc())
+    cand = ck.checkpoint(
+        joined.withColumn(
+            "relevance", F.round(cosine(F.col("_v"), F.col("_qv")), 6))
+        .withColumn("_rn", F.row_number().over(w_rel))
+        .filter(F.col("_rn") <= n_candidates)
+        .select("q_id", "vec_id", "_v", "relevance")
+    )
+
+    rel_u = F.round(F.col("relevance") * 1e6, 0).cast("long")
+    w_pick = Window.partitionBy("q_id").orderBy(
+        F.col("_score_u").desc(), F.col("vec_id").asc())
+    selected = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = cand.withColumn("_score_u", F.lit(lam_num) * rel_u)
+        else:
+            remaining = cand.join(
+                selected.select("q_id", "vec_id"),
+                ["q_id", "vec_id"], "left_anti")
+            pen = (
+                remaining.join(
+                    selected.select(
+                        "q_id", F.col("_v").alias("_sv")), "q_id")
+                .withColumn(
+                    "_p",
+                    F.round(
+                        F.round(cosine(F.col("_v"), F.col("_sv")), 6)
+                        * 1e6, 0).cast("long"))
+                .groupBy("q_id", "vec_id")
+                .agg(
+                    F.max("_p").alias("_pen_u"),
+                    F.first("relevance").alias("relevance"),
+                    F.first("_v").alias("_v"),
+                )
+            )
+            scored = pen.withColumn(
+                "_score_u",
+                F.lit(lam_num) * rel_u
+                - F.lit(10 - lam_num) * F.col("_pen_u"))
+        win = (
+            scored.withColumn("_pick", F.row_number().over(w_pick))
+            .filter(F.col("_pick") == 1)
+            .select("q_id", "vec_id", "_v", "relevance",
+                    (F.col("_score_u") / F.lit(1e7)).alias("mmr_score"),
+                    F.lit(r).alias("mmr_rank"))
+        )
+        new_sel = (
+            win if selected is None else selected.unionByName(win))
+        new_sel = ck.checkpoint(new_sel)
+        if selected is not None:
+            ck.release(selected)
+        selected = new_sel
+    ck.release_all_except(selected)
+    return selected.select(
+        "q_id", "vec_id", "mmr_rank", "relevance", "mmr_score")
