@@ -2816,6 +2816,66 @@ def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(emb, queries, k=3, n_candidates=10, lam=0.7)
 
 
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG change report between two instants (operators/temporal.py
+    snapshot_diff over fact_history): added / removed / changed fact
+    keys between t=+100s and t=+400s — two as-of scan filters + one
+    1:1 full-outer join on (subj, pred)."""
+    import datetime as _dt
+
+    from waka_spark.operators.temporal import fact_history, snapshot_diff
+
+    k = F.col("doc_id") % 60
+    facts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("e"), (k % 20).cast("string")).alias("subj_url"),
+        F.concat(F.lit("p"), (k / 20).cast("int").cast("string"))
+        .alias("pred_url"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("doc_id") / 120).cast("long") % 4).cast("string"),
+        ).alias("obj_url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("doc_id")).alias("ts"),
+    )
+    hist = fact_history(facts)
+
+    def at(s):
+        return _dt.datetime.fromtimestamp(1700000000 + s, tz=_dt.timezone.utc)
+
+    return snapshot_diff(hist, at(100), at(400))
+
+
+def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 fact merge (operators/temporal.py
+    merge_fact_history): history built from doc_id < 300, append-only
+    delta from doc_id >= 300; the oracle is the FULL REBUILD over all
+    facts — pinning merge(history(old), delta) == rebuild(old + delta),
+    the Iceberg-MERGE-INTO invariant for the temporal-KG table."""
+    from waka_spark.operators.temporal import fact_history, merge_fact_history
+
+    k = F.col("doc_id") % 60
+    facts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("e"), (k % 20).cast("string")).alias("subj_url"),
+        F.concat(F.lit("p"), (k / 20).cast("int").cast("string"))
+        .alias("pred_url"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("doc_id") / 120).cast("long") % 4).cast("string"),
+        ).alias("obj_url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("doc_id")).alias("ts"),
+    )
+    old = facts.filter(F.col("doc_id") < 300).drop("doc_id")
+    delta = facts.filter(F.col("doc_id") >= 300).drop("doc_id")
+    merged = merge_fact_history(fact_history(old), delta)
+    return merged.select(
+        "subj", "pred", "obj",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2993,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_ppr": q_graph_ppr,
         "ann_mmr": q_ann_mmr,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_fact_merge": q_kg_fact_merge,
     }
 
 
@@ -7377,6 +7439,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ppr": _ppr_sql(n_iter=5, damping=0.85),
         "ann_mmr": _mmr_sql(k=3, n_candidates=10, lam=0.7),
+        "kg_fact_merge": """
+            WITH facts AS (
+              SELECT 'e' || CAST((doc_id % 60) % 20 AS VARCHAR) AS subj,
+                     'p' || CAST((doc_id % 60) // 20 AS VARCHAR) AS pred,
+                     'v' || CAST((doc_id // 120) % 4 AS VARCHAR) AS obj,
+                     to_timestamp(1700000000 + doc_id) AS ts
+              FROM documents
+            ),
+            ch AS (
+              SELECT *, lag(obj) OVER (
+                PARTITION BY subj, pred ORDER BY ts, obj) AS prev
+              FROM facts
+            ),
+            seg AS (
+              SELECT subj, pred, obj, ts,
+                     lead(ts) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj) AS nxt
+              FROM ch WHERE prev IS NULL OR obj <> prev
+            )
+            SELECT subj, pred, obj,
+                   CAST(epoch(ts) AS BIGINT) AS valid_from_s,
+                   CAST(epoch(nxt) AS BIGINT) AS valid_to_s
+            FROM seg
+        """,
+        "kg_snapshot_diff": """
+            WITH facts AS (
+              SELECT 'e' || CAST((doc_id % 60) % 20 AS VARCHAR) AS subj,
+                     'p' || CAST((doc_id % 60) // 20 AS VARCHAR) AS pred,
+                     'v' || CAST((doc_id // 120) % 4 AS VARCHAR) AS obj,
+                     to_timestamp(1700000000 + doc_id) AS ts
+              FROM documents
+            ),
+            ch AS (
+              SELECT *, lag(obj) OVER (
+                PARTITION BY subj, pred ORDER BY ts, obj) AS prev
+              FROM facts
+            ),
+            seg AS (
+              SELECT subj, pred, obj, ts,
+                     lead(ts) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj) AS nxt
+              FROM ch WHERE prev IS NULL OR obj <> prev
+            ),
+            old AS (
+              SELECT subj, pred, obj AS obj_old FROM seg
+              WHERE ts <= to_timestamp(1700000100)
+                AND (nxt IS NULL OR nxt > to_timestamp(1700000100))
+            ),
+            new AS (
+              SELECT subj, pred, obj AS obj_new FROM seg
+              WHERE ts <= to_timestamp(1700000400)
+                AND (nxt IS NULL OR nxt > to_timestamp(1700000400))
+            )
+            SELECT coalesce(old.subj, new.subj) AS subj,
+                   coalesce(old.pred, new.pred) AS pred,
+                   obj_old, obj_new,
+                   CASE WHEN obj_old IS NULL THEN 'added'
+                        WHEN obj_new IS NULL THEN 'removed'
+                        WHEN obj_old <> obj_new THEN 'changed' END AS change
+            FROM old FULL OUTER JOIN new
+              ON old.subj = new.subj AND old.pred = new.pred
+            WHERE (CASE WHEN obj_old IS NULL THEN 'added'
+                        WHEN obj_new IS NULL THEN 'removed'
+                        WHEN obj_old <> obj_new THEN 'changed' END)
+                  IS NOT NULL
+        """,
         "graph_adamic_adar": f"""
             WITH {_SIMHASH_GRAPH_CTES},
             aa AS (

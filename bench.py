@@ -151,6 +151,8 @@ EXTRAS = [
     "graph_adamic_adar",
     "graph_ppr",
     "ann_mmr",
+    "kg_snapshot_diff",
+    "kg_fact_merge",
 ]
 
 

@@ -230,3 +230,72 @@ def test_mmr_prefers_diverse_over_duplicate(spark):
     got_hi = {r["mmr_rank"]: r["vec_id"] for r in mmr_topk(
         emb, queries, k=2, n_candidates=3, lam=0.9).collect()}
     assert got_hi[2] == 2
+
+
+def test_snapshot_diff_added_removed_changed(spark):
+    from waka_spark.operators.temporal import fact_history, snapshot_diff
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    facts = spark.createDataFrame(
+        [
+            ("e1", "p", "a", ts(0)),   # changed: a -> b
+            ("e1", "p", "b", ts(5)),
+            ("e2", "p", "x", ts(5)),   # added after t_old
+            ("e3", "p", "y", ts(0)),   # unchanged -> excluded
+        ],
+        "subj_url string, pred_url string, obj_url string, ts timestamp",
+    )
+    hist = fact_history(facts)
+    got = {(r["subj"], r["change"]): r for r in snapshot_diff(
+        hist, ts(1), ts(6)).collect()}
+    assert set(got) == {("e1", "changed"), ("e2", "added")}
+    assert got[("e1", "changed")]["obj_old"] == "a"
+    assert got[("e1", "changed")]["obj_new"] == "b"
+    assert got[("e2", "added")]["obj_old"] is None
+    # reversed direction reports the removal
+    rev = {(r["subj"], r["change"]) for r in snapshot_diff(
+        hist, ts(6), ts(1)).collect()}
+    assert ("e2", "removed") in rev
+
+
+def test_merge_fact_history_equals_rebuild_append_only(spark):
+    from waka_spark.operators.temporal import fact_history, merge_fact_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    schema = "subj_url string, pred_url string, obj_url string, ts timestamp"
+    old = spark.createDataFrame(
+        [
+            ("e1", "p", "a", ts(0)),
+            ("e1", "p", "a", ts(1)),   # run-duplicate, collapses
+            ("e1", "p", "b", ts(2)),
+            ("e2", "p", "x", ts(0)),   # untouched by the delta
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            ("e1", "p", "b", ts(3)),   # same obj as current -> no new row
+            ("e1", "p", "c", ts(4)),   # change -> closes b, opens c
+            ("e3", "p", "z", ts(4)),   # brand-new key
+        ],
+        schema,
+    )
+    def key(r):
+        return (r["subj"], r["pred"], r["obj"], r["valid_from"],
+                r["valid_to"])
+
+    merged = sorted(map(key, merge_fact_history(
+        fact_history(old), delta).collect()))
+    rebuilt = sorted(map(key, fact_history(
+        old.unionByName(delta)).collect()))
+    assert merged == rebuilt
+    assert ("e1", "p", "c", ts(4), None) in merged
+    assert ("e2", "p", "x", ts(0), None) in merged  # passed through

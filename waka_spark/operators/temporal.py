@@ -661,3 +661,91 @@ def as_of_snapshot(
         (F.col(from_col) <= F.lit(at))
         & (F.col(to_col).isNull() | (F.col(to_col) > F.lit(at)))
     )
+
+
+def snapshot_diff(
+    history: DataFrame,
+    at_old,
+    at_new,
+) -> DataFrame:
+    """KG change report between two instants over an SCD-2 fact table
+    (:func:`fact_history` output): per (subj, pred) fact key, what was
+    ``added`` (no old value), ``removed`` (no new value), or ``changed``
+    (different object) between ``at_old`` and ``at_new``. Unchanged facts
+    are excluded. The audit/debug face of the temporal KG — "what did
+    this ingest window do to the graph".
+
+    Two :func:`as_of_snapshot` scan filters + ONE full-outer hash join on
+    the fact key (an SCD-2 history has at most one valid row per key per
+    instant, so the join is 1:1); no windows, no re-sort of the history.
+
+    Output: (subj, pred, obj_old, obj_new, change).
+    """
+    old = as_of_snapshot(history, at_old).select(
+        "subj", "pred", F.col("obj").alias("obj_old"))
+    new = as_of_snapshot(history, at_new).select(
+        "subj", "pred", F.col("obj").alias("obj_new"))
+    joined = old.join(new, ["subj", "pred"], "full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("obj_old").isNull(), F.lit("added"))
+            .when(F.col("obj_new").isNull(), F.lit("removed"))
+            .when(F.col("obj_old") != F.col("obj_new"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("subj", "pred", "obj_old", "obj_new", "change")
+    )
+
+
+def merge_fact_history(
+    history: DataFrame,
+    delta: DataFrame,
+    subj_col: str = "subj_url",
+    pred_col: str = "pred_url",
+    obj_col: str = "obj_url",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental MERGE of newly ingested time-stamped facts into an
+    existing :func:`fact_history` table — the write side a streaming /
+    batch-append fact pipeline needs (Iceberg-MERGE-INTO analog for the
+    SCD-2 shape, like plans/incremental.py merge_edges for the edges
+    table).
+
+    Only the fact keys PRESENT IN THE DELTA are re-segmented: their
+    current intervals collapse back to change-points (each interval row
+    IS one (obj, valid_from) assertion), union with the delta's facts,
+    and re-run the single-shuffle lag/lead segmentation; untouched keys
+    pass through via one anti-join. Cost scales with the delta's key
+    footprint, never the full history.
+
+    Invariant (pinned by tests + the `kg_fact_merge` oracle):
+    ``merge(fact_history(old), delta) == fact_history(old ∪ delta)``
+    for APPEND-ONLY deltas (every delta ts ≥ the key's last change
+    point). Out-of-order backfill between two historical change-points
+    is NOT exactly mergeable from the collapsed history — a same-object
+    re-observation that was collapsed away can no longer re-open its
+    interval — so late data needs a rebuild of the affected keys from
+    raw facts; the append-only case is the streaming reality this
+    operator serves.
+
+    Output: same schema as :func:`fact_history`.
+    """
+    keys = delta.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred")
+    ).distinct()
+    touched = history.join(keys, ["subj", "pred"], "left_semi")
+    untouched = history.join(keys, ["subj", "pred"], "left_anti")
+    points = touched.select(
+        F.col("subj").alias(subj_col),
+        F.col("pred").alias(pred_col),
+        F.col("obj").alias(obj_col),
+        F.col("valid_from").alias(ts_col),
+    )
+    delta_facts = delta.select(subj_col, pred_col, obj_col, ts_col)
+    rebuilt = fact_history(
+        points.unionByName(delta_facts),
+        subj_col=subj_col, pred_col=pred_col,
+        obj_col=obj_col, ts_col=ts_col,
+    )
+    return untouched.unionByName(rebuilt)
