@@ -417,3 +417,76 @@ def test_stream_merge_edges_replay_same_checkpoint_is_idempotent(
     assert table.current_version() == v1  # no new snapshot committed
     again = table.read(spark)
     assert again.agg({"support": "sum"}).collect()[0][0] == 10
+
+
+def test_stream_fact_history_matches_batch_and_merges_batches(
+        spark, tmp_path):
+    """Streamed SCD-2 maintenance: the stream runs once on file A
+    (bootstrap path: fact_history), then file B is appended and the
+    stream restarts on the SAME checkpoint (incremental path:
+    merge_fact_history over the committed snapshot); the final
+    versioned history must equal fact_history over ALL facts at once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from waka_spark import schemas
+    from waka_spark.operators.temporal import fact_history
+    from waka_spark.plans.versioned import VersionedTable
+    from waka_spark.streaming.ingest import run_stream_fact_history
+
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(batch):
+        # batch 0: conv c1 user->assistant; batch 1: c1 back to user
+        if batch == 0:
+            return [
+                ("c1", 0, "user", "hi", None, ts0),
+                ("c1", 1, "assistant", "hello", None,
+                 ts0 + dt.timedelta(minutes=1)),
+                ("c2", 0, "user", "x", None, ts0),
+            ]
+        return [
+            ("c1", 2, "user", "more", None, ts0 + dt.timedelta(minutes=2)),
+            ("c2", 1, "user", "again", None,
+             ts0 + dt.timedelta(minutes=3)),  # same role: no new interval
+        ]
+
+    in_dir = tmp_path / "turns_fh"
+
+    def facts_fn(batch_df):
+        return batch_df.select(
+            F.col("conv_id").alias("subj_url"),
+            F.lit("last_role").alias("pred_url"),
+            F.col("role").alias("obj_url"),
+            F.col("ts"),
+        )
+
+    def run_once():
+        q = run_stream_fact_history(
+            spark, str(in_dir), facts_fn,
+            history_path=str(tmp_path / "hist"),
+            checkpoint_path=str(tmp_path / "ckpt_fh"))
+        q.awaitTermination(300)
+
+    table = VersionedTable(str(tmp_path / "hist"))
+    spark.createDataFrame(rows(0), schemas.TRANSCRIPTS).coalesce(
+        1).write.mode("append").parquet(str(in_dir))
+    run_once()  # bootstrap: fact_history path
+    v_first = table.current_version()
+    spark.createDataFrame(rows(1), schemas.TRANSCRIPTS).coalesce(
+        1).write.mode("append").parquet(str(in_dir))
+    run_once()  # same checkpoint: only file B delivers -> merge path
+    assert table.current_version() > v_first
+    got = table.read(spark)
+
+    all_rows = [r for b in (0, 1) for r in rows(b)]
+    batch_facts = facts_fn(
+        spark.createDataFrame(all_rows, schemas.TRANSCRIPTS))
+
+    def key(r):
+        return (r["subj"], r["pred"], r["obj"], r["valid_from"],
+                r["valid_to"])
+
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, fact_history(batch_facts).collect()))

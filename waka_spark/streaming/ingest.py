@@ -339,3 +339,58 @@ def run_stream_to_graph(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_fact_history(
+    spark: SparkSession,
+    input_path: str,
+    facts_fn,
+    history_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch bridge maintaining the TEMPORAL-KG table: each
+    micro-batch of turns maps to time-stamped (subj, pred, obj, ts)
+    assertions via ``facts_fn`` and MERGEs into the SCD-2 fact-history
+    snapshot through ``operators/temporal.merge_fact_history`` — only
+    the batch's fact keys re-segment, so per-batch cost follows the
+    delta, not the accumulated history. Streaming micro-batches arrive
+    in event-time order under the source's ordering (or the watermarked
+    ingest upstream), which is exactly the append-only precondition
+    ``merge_fact_history`` documents.
+
+    Commit + replay discipline is identical to
+    :func:`run_stream_merge_edges`: versioned-dir snapshot with atomic
+    ``_CURRENT`` repoint, (checkpoint, batch_id) stamped in the manifest
+    so an at-least-once re-delivery of a committed batch is skipped
+    rather than merged twice.
+    """
+    from waka_spark.operators.temporal import fact_history, merge_fact_history
+    from waka_spark.plans.versioned import VersionedTable
+
+    table = VersionedTable(history_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = table.current_version()
+        if cur is not None:
+            m = table.manifest(cur)
+            if (m.get("batch_id") == batch_id
+                    and m.get("checkpoint") == checkpoint_path):
+                return  # at-least-once replay of an already-committed batch
+        facts = facts_fn(batch_df)
+        merged = (
+            fact_history(facts) if cur is None
+            else merge_fact_history(table.read(spark, cur), facts)
+        )
+        table.commit(
+            merged,
+            meta={"batch_id": batch_id, "checkpoint": checkpoint_path})
+
+    stream = stream_transcripts(spark, input_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
