@@ -43,7 +43,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL (not a job-killing ANSI DIVIDE_BY_ZERO)
+    when either vector has zero norm — at corpus scale SOME row is a
+    zero embedding, and one such row must not fail the whole pass.
+    NULL sorts last under every DESC ranking here, so zero vectors
+    simply never win a top-k — the behavior a retrieval caller wants."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
