@@ -458,8 +458,11 @@ def centroid_cohesion(
     joined = embeddings.select(
         F.col(label_col).alias("label"), F.col(id_col), vec.alias("_v")
     ).join(F.broadcast(cent), "label")
-    cos = _dot(F.col("_v"), F.col("_cent")) / (
-        _norm(F.col("_v")) * _norm(F.col("_cent"))
+    # try_divide, same rationale as cosine(): a zero-norm member vector
+    # degrades to NULL (avg skips it) instead of killing the job
+    cos = F.try_divide(
+        _dot(F.col("_v"), F.col("_cent")),
+        _norm(F.col("_v")) * _norm(F.col("_cent")),
     )
     return (
         joined.select("label", cos.alias("_cos"))
