@@ -2876,6 +2876,34 @@ def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class script profile (operators/textstats.py
+    script_profile): latin/digit/space/other fractions + dominant class
+    per document — four regexp_replace lengths, zero shuffle. Every 9th
+    doc gets digits and a CJK glyph injected so all classes appear."""
+    from waka_spark.operators.textstats import script_profile
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(F.col("text"), F.lit(" 12345 \u4e16\u754c")),
+        ).otherwise(F.col("text")),
+    )
+    return script_profile(docs)
+
+
+def q_text_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day vocabulary novelty (operators/textstats.py vocab_novelty):
+    day = doc_id % 30; of each day's distinct active words, the fraction
+    appearing for the first time — the drift/burstiness curve."""
+    from waka_spark.operators.textstats import vocab_novelty
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "day", (F.col("doc_id") % 30).cast("int"))
+    return vocab_novelty(docs)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3055,6 +3083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr": q_ann_mmr,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fact_merge": q_kg_fact_merge,
+        "text_script_profile": q_text_script_profile,
+        "text_vocab_novelty": q_text_vocab_novelty,
     }
 
 
@@ -7524,6 +7554,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT aa.a AS node_a, aa.b AS node_b, n_common, aa_score
             FROM aa LEFT JOIN ex ON aa.a = ex.a AND aa.b = ex.b
             WHERE ex.a IS NULL
+        """,
+        "text_script_profile": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 2
+                          THEN text || ' 12345 ' || chr(19990) || chr(30028)
+                          ELSE text END AS text
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(text) AS BIGINT) AS n_chars,
+                     greatest(len(text), 1) AS denom,
+                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nl,
+                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+                     len(regexp_replace(text, '[^\s]', '', 'g')) AS ns
+              FROM d
+            ),
+            f AS (
+              SELECT doc_id, n_chars,
+                     round(nl * 1.0 / denom, 6) AS latin_frac,
+                     round(nd * 1.0 / denom, 6) AS digit_frac,
+                     round(ns * 1.0 / denom, 6) AS space_frac,
+                     round((n_chars - nl - nd - ns) * 1.0 / denom, 6)
+                       AS other_frac
+              FROM c
+            )
+            SELECT *,
+                   CASE WHEN latin_frac >= digit_frac
+                         AND latin_frac >= space_frac
+                         AND latin_frac >= other_frac THEN 'latin'
+                        WHEN digit_frac >= space_frac
+                         AND digit_frac >= other_frac THEN 'digit'
+                        WHEN space_frac >= other_frac THEN 'space'
+                        ELSE 'other' END AS dominant
+            FROM f
+        """,
+        "text_vocab_novelty": r"""
+            WITH pairs AS (
+              SELECT DISTINCT CAST(doc_id % 30 AS INT) AS day,
+                     unnest(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            ),
+            p AS (SELECT * FROM pairs WHERE word <> ''),
+            first AS (
+              SELECT word, min(day) AS first_day FROM p GROUP BY word
+            )
+            SELECT p.day,
+                   CAST(count(*) AS BIGINT) AS n_active_words,
+                   CAST(sum(CASE WHEN p.day = first.first_day
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_new_words,
+                   round(sum(CASE WHEN p.day = first.first_day
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                     AS novelty
+            FROM p JOIN first ON p.word = first.word
+            GROUP BY p.day
         """,
     }
 

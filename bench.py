@@ -153,6 +153,8 @@ EXTRAS = [
     "ann_mmr",
     "kg_snapshot_diff",
     "kg_fact_merge",
+    "text_script_profile",
+    "text_vocab_novelty",
 ]
 
 

@@ -299,3 +299,42 @@ def test_merge_fact_history_equals_rebuild_append_only(spark):
     assert merged == rebuilt
     assert ("e1", "p", "c", ts(4), None) in merged
     assert ("e2", "p", "x", ts(0), None) in merged  # passed through
+
+
+def test_script_profile_classes_and_dominant(spark):
+    from waka_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "abcd 12 世界"), (2, "999"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    r1 = got[1]
+    assert r1["n_chars"] == 10
+    assert r1["latin_frac"] == pytest.approx(0.4)
+    assert r1["digit_frac"] == pytest.approx(0.2)
+    assert r1["space_frac"] == pytest.approx(0.2)
+    assert r1["other_frac"] == pytest.approx(0.2)  # the two CJK glyphs
+    assert r1["dominant"] == "latin"
+    assert got[2]["dominant"] == "digit"
+    # empty doc: zero fractions, no division error, latin wins the tie
+    assert got[3]["n_chars"] == 0 and got[3]["dominant"] == "latin"
+
+
+def test_vocab_novelty_first_appearance_only(spark):
+    from waka_spark.operators.textstats import vocab_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", 0),
+            (2, "alpha gamma", 1),   # alpha is old, gamma new
+            (3, "beta beta beta", 1),  # beta old (multiplicity ignored)
+            (4, "delta", 2),
+        ],
+        "doc_id long, text string, day int",
+    )
+    got = {r["day"]: r for r in vocab_novelty(df).collect()}
+    assert (got[0]["n_active_words"], got[0]["n_new_words"]) == (2, 2)
+    assert (got[1]["n_active_words"], got[1]["n_new_words"]) == (3, 1)
+    assert got[1]["novelty"] == pytest.approx(round(1 / 3, 6))
+    assert (got[2]["n_active_words"], got[2]["n_new_words"]) == (1, 1)

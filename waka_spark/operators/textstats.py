@@ -618,3 +618,111 @@ def keyness_terms(
         .select("slice", "word", "y_sw", "z",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class profile: fractions of Latin letters,
+    digits, whitespace, and everything else (CJK, Cyrillic, emoji,
+    control bytes — the catch-all a multilingual/web corpus audit splits
+    further once it matters). The cheap first-pass signal for routing
+    documents to language-specific pipelines and catching mojibake /
+    binary-in-text ingestion bugs BEFORE tokenization spends money on
+    them.
+
+    Pure narrow column ops: each class count is one regexp_replace
+    length (no explode, no arrays, no shuffle at all) — whole-stage
+    codegen end to end; a ~TB/hour-per-core scan shape.
+
+    Output: (doc_id, n_chars, latin_frac, digit_frac, space_frac,
+    other_frac, dominant) — fractions round-6 over max(n_chars, 1);
+    ``dominant`` is the argmax class (ties: latin > digit > space >
+    other, the declaration order).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    denom = F.greatest(n_chars, F.lit(1))
+
+    def frac(cls: str) -> Column:
+        return (
+            F.length(F.regexp_replace(text, f"[^{cls}]", "")) / denom
+        )
+
+    latin = frac("A-Za-z")
+    digit = frac("0-9")
+    space = frac(r"\s")
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(latin, 6).alias("latin_frac"),
+        F.round(digit, 6).alias("digit_frac"),
+        F.round(space, 6).alias("space_frac"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+             - F.length(F.regexp_replace(text, "[^0-9]", ""))
+             - F.length(F.regexp_replace(text, r"[^\s]", ""))) / denom,
+            6,
+        ).alias("other_frac"),
+    )
+    dominant = (
+        F.when(
+            (F.col("latin_frac") >= F.col("digit_frac"))
+            & (F.col("latin_frac") >= F.col("space_frac"))
+            & (F.col("latin_frac") >= F.col("other_frac")), "latin")
+        .when(
+            (F.col("digit_frac") >= F.col("space_frac"))
+            & (F.col("digit_frac") >= F.col("other_frac")), "digit")
+        .when(F.col("space_frac") >= F.col("other_frac"), "space")
+        .otherwise("other")
+    )
+    return out.withColumn("dominant", dominant)
+
+
+def vocab_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    day_col: str = "day",
+) -> DataFrame:
+    """Per-day vocabulary novelty: of the distinct words active on day
+    d, what fraction is appearing for the FIRST time in the corpus —
+    the drift/burstiness counterpart of the per-slice KL screen (KL says
+    "this slice's distribution shifted"; novelty says "and here is when
+    the new vocabulary actually arrived"). Heaps-law-style curves made
+    queryable: a healthy growing corpus decays smoothly; an ingestion
+    bug (new spam source, encoding break) spikes.
+
+    Scale shape: one explode → (word, day) DISTINCT (the only big
+    shuffle, keyed by word+day), per-word min-day hash agg, then the
+    per-day rollup counts first-appearances vs active words in ONE agg
+    over the distinct pairs joined to their word's first day. No
+    windows, no self-joins.
+
+    Output: (day, n_active_words, n_new_words, novelty), novelty
+    round-6.
+    """
+    pairs = (
+        df.select(
+            F.col(day_col).alias("day"),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    first = pairs.groupBy("word").agg(F.min("day").alias("_first_day"))
+    return (
+        pairs.join(first, "word")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active_words"),
+            F.sum((F.col("day") == F.col("_first_day")).cast("long"))
+            .alias("n_new_words"),
+        )
+        .select(
+            "day", "n_active_words", "n_new_words",
+            F.round(
+                F.col("n_new_words") / F.col("n_active_words"), 6
+            ).alias("novelty"),
+        )
+    )
