@@ -2779,11 +2779,16 @@ def q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (operators/graph.py adamic_adar) over
     the shared SimHash similarity graph: IDF-weighted common-neighbor
-    scores for non-adjacent pairs — the smooth hub discount
-    common_neighbors' max_hub_degree only approximates."""
+    scores for non-adjacent pairs. max_hub_degree=30 excludes clique-hub
+    mids from wedge generation — a SimHash near-dup graph is a union of
+    cliques, the exact shape where uncapped wedge work goes quadratic
+    (measured 74s -> capped seconds at sf0.1); a capped-out mid would
+    have contributed only 1/ln(d) ~= 0.3 per pair anyway. The oracle
+    applies the identical cap, so results stay exact."""
     from waka_spark.operators.graph import adamic_adar
 
-    return adamic_adar(_simhash_graph(spark, sf_dir), min_common=3)
+    return adamic_adar(
+        _simhash_graph(spark, sf_dir), min_common=3, max_hub_degree=30)
 
 
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7544,7 +7549,7 @@ def oracle_sql() -> dict[str, str]:
                        AS aa_score
               FROM g_edges ea
               JOIN g_edges eb ON ea.dst = eb.dst AND ea.src < eb.src
-              JOIN g_deg dg ON dg.src = ea.dst
+              JOIN g_deg dg ON dg.src = ea.dst AND dg.outdeg <= 30
               GROUP BY 1, 2 HAVING count(*) >= 3
             ),
             ex AS (
