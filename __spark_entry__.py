@@ -2909,6 +2909,23 @@ def q_text_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_novelty(docs)
 
 
+def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup (operators/multimodal.py binary_chunk_dedup):
+    whole-file md5 identity + 16-byte chunk overlap over hex-encoded
+    payloads (engine-portable BLOB slicing); every 4th doc's payload is
+    duplicated under a shifted asset_id so file-level copies exist."""
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        binary_chunk_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    assets = attach_binary_payload(docs.unionByName(copies))
+    return binary_chunk_dedup(assets, chunk_bytes=16)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3090,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_merge": q_kg_fact_merge,
         "text_script_profile": q_text_script_profile,
         "text_vocab_novelty": q_text_vocab_novelty,
+        "multimodal_chunk_dedup": q_multimodal_chunk_dedup,
     }
 
 
@@ -7617,6 +7635,54 @@ def oracle_sql() -> dict[str, str]:
                      AS novelty
             FROM p JOIN first ON p.word = first.word
             GROUP BY p.day
+        """,
+        "multimodal_chunk_dedup": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 4 = 1
+            ),
+            b AS (
+              SELECT doc_id AS asset_id,
+                     hex(CAST(text AS BLOB)) AS hx
+              FROM d
+            ),
+            base AS (
+              SELECT asset_id, md5(hx) AS file_hash, hx,
+                     CAST(ceil(len(hx) / 32.0) AS INT) AS nc
+              FROM b
+            ),
+            chunks AS (
+              SELECT DISTINCT asset_id,
+                     md5(substring(hx, i * 32 + 1, 32)) AS chunk_hash
+              FROM base, LATERAL unnest(generate_series(0, nc - 1)) AS t(i)
+            ),
+            freq AS (
+              SELECT chunk_hash, count(*) AS n_assets
+              FROM chunks GROUP BY chunk_hash
+            ),
+            per_asset AS (
+              SELECT c.asset_id,
+                     CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(CASE WHEN f.n_assets > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_chunks
+              FROM chunks c JOIN freq f ON c.chunk_hash = f.chunk_hash
+              GROUP BY c.asset_id
+            ),
+            file_freq AS (
+              SELECT file_hash, CAST(count(*) AS BIGINT) AS n_file_copies
+              FROM base GROUP BY file_hash
+            )
+            SELECT base.asset_id, base.file_hash, ff.n_file_copies,
+                   coalesce(pa.n_chunks, 0) AS n_chunks,
+                   coalesce(pa.n_dup_chunks, 0) AS n_dup_chunks,
+                   round(coalesce(
+                     pa.n_dup_chunks * 1.0 / pa.n_chunks, 0.0), 6)
+                     AS dup_chunk_frac
+            FROM base
+            JOIN file_freq ff ON base.file_hash = ff.file_hash
+            LEFT JOIN per_asset pa ON base.asset_id = pa.asset_id
         """,
     }
 

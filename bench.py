@@ -155,6 +155,7 @@ EXTRAS = [
     "kg_fact_merge",
     "text_script_profile",
     "text_vocab_novelty",
+    "multimodal_chunk_dedup",
 ]
 
 

@@ -338,3 +338,27 @@ def test_vocab_novelty_first_appearance_only(spark):
     assert (got[1]["n_active_words"], got[1]["n_new_words"]) == (3, 1)
     assert got[1]["novelty"] == pytest.approx(round(1 / 3, 6))
     assert (got[2]["n_active_words"], got[2]["n_new_words"]) == (1, 1)
+
+
+def test_binary_chunk_dedup_file_and_chunk_levels(spark):
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        binary_chunk_dedup,
+    )
+
+    # doc 1 and 2 identical payloads; doc 3 shares 1's first 4 bytes
+    # (one whole chunk at chunk_bytes=4) then diverges; doc 4 disjoint
+    docs = spark.createDataFrame(
+        [(1, "abcdWXYZ"), (2, "abcdWXYZ"), (3, "abcdQQQQ"), (4, "zzzz")],
+        "doc_id long, text string",
+    )
+    out = {r["asset_id"]: r for r in binary_chunk_dedup(
+        attach_binary_payload(docs), chunk_bytes=4).collect()}
+    assert out[1]["file_hash"] == out[2]["file_hash"]
+    assert out[1]["n_file_copies"] == 2 and out[3]["n_file_copies"] == 1
+    # doc 3: chunks 'abcd' (shared with 1/2) + 'QQQQ' (unique)
+    assert out[3]["n_chunks"] == 2 and out[3]["n_dup_chunks"] == 1
+    assert out[3]["dup_chunk_frac"] == 0.5
+    assert out[4]["n_dup_chunks"] == 0
+    # identical files: every chunk duplicated
+    assert out[1]["dup_chunk_frac"] == 1.0
