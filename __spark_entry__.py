@@ -2926,6 +2926,26 @@ def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_chunk_dedup(assets, chunk_bytes=16)
 
 
+def q_kg_eval_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the micro triple eval
+    (operators/evals.py eval_bootstrap_ci): 200 deterministic md5-seeded
+    replicates over the per-conversation (tp, fp, fn) surface from
+    kg_eval_per_conv's computed/gold split — the error bars behind a
+    "P/R >= 0.95" release gate."""
+    from waka_spark.operators.evals import eval_bootstrap_ci
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_partkey").cast("string").alias("subj_url"),
+        F.lit("p").alias("pred_url"),
+        F.col("l_suppkey").cast("string").alias("obj_url"),
+        "l_quantity", "l_discount",
+    )
+    computed = li.filter(F.col("l_quantity") > 25)
+    gold = li.filter(F.col("l_discount") > 0.05)
+    return eval_bootstrap_ci(computed, gold, n_boot=200)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3108,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": q_text_script_profile,
         "text_vocab_novelty": q_text_vocab_novelty,
         "multimodal_chunk_dedup": q_multimodal_chunk_dedup,
+        "kg_eval_bootstrap": q_kg_eval_bootstrap,
     }
 
 
@@ -7683,6 +7704,85 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             JOIN file_freq ff ON base.file_hash = ff.file_hash
             LEFT JOIN per_asset pa ON base.asset_id = pa.asset_id
+        """,
+        "kg_eval_bootstrap": """
+            WITH base AS (
+              SELECT CAST(l_orderkey AS VARCHAR) conv_id,
+                     CAST(l_partkey AS VARCHAR) subj_url,
+                     CAST(l_suppkey AS VARCHAR) obj_url,
+                     l_quantity, l_discount
+              FROM lineitem
+            ),
+            comp AS (SELECT DISTINCT conv_id, subj_url, obj_url
+                     FROM base WHERE l_quantity > 25),
+            gold AS (SELECT DISTINCT conv_id, subj_url, obj_url
+                     FROM base WHERE l_discount > 0.05),
+            per_doc AS (
+              SELECT coalesce(c.conv_id, g.conv_id) conv_id,
+                     count(c.subj_url) AS n_comp_rows,
+                     count(g.subj_url) AS n_gold_rows,
+                     count(CASE WHEN c.subj_url IS NOT NULL
+                                 AND g.subj_url IS NOT NULL THEN 1 END) AS tp
+              FROM comp c FULL JOIN gold g
+                ON c.conv_id = g.conv_id AND c.subj_url = g.subj_url
+                AND c.obj_url = g.obj_url
+              GROUP BY 1
+            ),
+            counts AS (
+              SELECT conv_id, CAST(tp AS BIGINT) tp,
+                     CAST(n_comp_rows - tp AS BIGINT) fp,
+                     CAST(n_gold_rows - tp AS BIGINT) fn
+              FROM per_doc
+            ),
+            reps AS (SELECT unnest(generate_series(0, 199)) AS b),
+            weighted AS (
+              SELECT b,
+                     CASE
+                       WHEN u < 1580030168 THEN 0
+                       WHEN u < 3160060337 THEN 1
+                       WHEN u < 3950075421 THEN 2
+                       WHEN u < 4213413783 THEN 3
+                       WHEN u < 4279248373 THEN 4
+                       WHEN u < 4292415291 THEN 5
+                       ELSE 6 END AS w,
+                     tp, fp, fn
+              FROM (
+                SELECT b, tp, fp, fn,
+                       CAST(('0x' || substr(md5(
+                         'boot:' || conv_id || ':' || CAST(b AS VARCHAR)
+                       ), 1, 8)) AS BIGINT) AS u
+                FROM counts CROSS JOIN reps
+              )
+            ),
+            per_b AS (
+              SELECT b, CAST(sum(w * tp) AS BIGINT) tp,
+                     CAST(sum(w * fp) AS BIGINT) fp,
+                     CAST(sum(w * fn) AS BIGINT) fn
+              FROM weighted GROUP BY b
+            ),
+            scored AS (
+              SELECT
+                CASE WHEN tp + fp > 0
+                     THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS p,
+                CASE WHEN tp + fn > 0
+                     THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS r
+              FROM per_b
+            ),
+            f AS (
+              SELECT p, r,
+                     CASE WHEN p + r > 0
+                          THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f1
+              FROM scored
+            )
+            SELECT CAST(200 AS INT) AS n_boot,
+                   round(avg(f1), 6) AS f1_mean,
+                   round(quantile_cont(f1, 0.025), 6) AS f1_lo,
+                   round(quantile_cont(f1, 0.975), 6) AS f1_hi,
+                   round(quantile_cont(p, 0.025), 6) AS precision_lo,
+                   round(quantile_cont(p, 0.975), 6) AS precision_hi,
+                   round(quantile_cont(r, 0.025), 6) AS recall_lo,
+                   round(quantile_cont(r, 0.975), 6) AS recall_hi
+            FROM f
         """,
     }
 

@@ -156,6 +156,7 @@ EXTRAS = [
     "text_script_profile",
     "text_vocab_novelty",
     "multimodal_chunk_dedup",
+    "kg_eval_bootstrap",
 ]
 
 

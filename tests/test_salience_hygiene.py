@@ -362,3 +362,22 @@ def test_binary_chunk_dedup_file_and_chunk_levels(spark):
     assert out[4]["n_dup_chunks"] == 0
     # identical files: every chunk duplicated
     assert out[1]["dup_chunk_frac"] == 1.0
+
+
+def test_bootstrap_ci_degenerate_and_ordering(spark):
+    from waka_spark.operators.evals import eval_bootstrap_ci
+
+    rows = [(f"c{i}", f"s{j}", "p", f"o{j}")
+            for i in range(6) for j in range(3)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, subj_url string, pred_url string, obj_url string")
+    # perfect agreement: every replicate scores exactly 1.0
+    perfect = eval_bootstrap_ci(df, df, n_boot=50).collect()[0]
+    assert perfect["f1_mean"] == 1.0
+    assert perfect["f1_lo"] == 1.0 and perfect["f1_hi"] == 1.0
+    # partial agreement: interval brackets the mean, strictly inside (0,1)
+    half = df.filter(F.col("subj_url") != "s0")
+    r = eval_bootstrap_ci(half, df, n_boot=50).collect()[0]
+    assert r["f1_lo"] <= r["f1_mean"] <= r["f1_hi"]
+    assert 0.0 < r["recall_lo"] <= r["recall_hi"] < 1.0
+    assert r["precision_hi"] == 1.0  # computed is a subset of gold

@@ -111,3 +111,98 @@ def eval_predicates(computed: DataFrame, gold: DataFrame, macro: bool = False) -
 def prf_dict(eval_df: DataFrame) -> dict:
     row = eval_df.collect()[0].asDict()
     return {k: float(v) for k, v in row.items() if v is not None}
+
+
+def eval_bootstrap_ci(
+    computed: DataFrame,
+    gold: DataFrame,
+    keys: list[str] | None = None,
+    n_boot: int = 200,
+    ci: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Bootstrap confidence intervals for the micro P/R/F1 — the error
+    bars a corpus-scale KG eval needs before "P/R >= 0.95" can gate a
+    release (a point estimate over N conversations says nothing about
+    whether 0.951 vs 0.949 is noise). Conversations are the resampling
+    unit (the reference's macro unit, evaluate_kg_creation.py:21-44).
+
+    Poisson bootstrap (Chamandy et al., Google 2012): replicate b gives
+    conversation c weight w ~ Poisson(1), realized DETERMINISTICALLY by
+    mapping the md5("salt:conv:b") 32-bit uniform through the Poisson
+    CDF as pre-computed INTEGER thresholds (capped at 6, cumulative
+    mass 0.9999) — no RNG state, bit-identical across engines and
+    partitionings, and unlike the exact multinomial bootstrap it needs
+    no global coordination, which is why it is THE bootstrap at
+    map-reduce scale.
+
+    Scale shape: the per-conversation (tp, fp, fn) counts table (the
+    already-aggregated eval surface, 3 ints per conv) fans out x
+    ``n_boot`` NARROWLY; the per-replicate sums are map-side-combined
+    into <= n_boot rows before the single shuffle, so the exchange
+    carries O(n_boot) rows regardless of corpus size. Replicate sums
+    are pure INTEGER arithmetic — identical across engines; only the
+    final P/R/F1 divisions and percentile interpolation are floating,
+    on B values.
+
+    Output: one row — (n_boot, f1_mean, f1_lo, f1_hi, precision_lo,
+    precision_hi, recall_lo, recall_hi), round-6, lo/hi at the
+    (1±ci)/2 percentiles.
+    """
+    import math
+
+    keys = keys or ["subj_url", "pred_url", "obj_url"]
+    per = _eval_on_keys(
+        computed, gold, keys, macro=False, per_doc_rows=True
+    ).select(
+        "conv_id",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+    )
+    reps = computed.sparkSession.range(n_boot).select(
+        F.col("id").cast("int").alias("b"))
+
+    thresholds, acc = [], 0.0
+    for k in range(6):
+        acc += math.exp(-1) / math.factorial(k)
+        thresholds.append(int(acc * (1 << 32)))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.lit(salt), F.col("conv_id"), F.col("b"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    w = F.when(u < thresholds[0], 0)
+    for k in range(1, 6):
+        w = w.when(u < thresholds[k], k)
+    w = w.otherwise(6)
+
+    per_b = (
+        per.crossJoin(reps)
+        .withColumn("_w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("_w") * F.col("tp")).alias("tp"),
+            F.sum(F.col("_w") * F.col("fp")).alias("fp"),
+            F.sum(F.col("_w") * F.col("fn")).alias("fn"),
+        )
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(p + r > 0, 2.0 * p * r / (p + r)).otherwise(0.0)
+    scored = per_b.select(
+        p.alias("_p"), r.alias("_r"), f1.alias("_f1"))
+    lo, hi = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    return scored.agg(
+        F.lit(n_boot).alias("n_boot"),
+        F.round(F.avg("_f1"), 6).alias("f1_mean"),
+        F.round(F.percentile("_f1", F.lit(lo)), 6).alias("f1_lo"),
+        F.round(F.percentile("_f1", F.lit(hi)), 6).alias("f1_hi"),
+        F.round(F.percentile("_p", F.lit(lo)), 6).alias("precision_lo"),
+        F.round(F.percentile("_p", F.lit(hi)), 6).alias("precision_hi"),
+        F.round(F.percentile("_r", F.lit(lo)), 6).alias("recall_lo"),
+        F.round(F.percentile("_r", F.lit(hi)), 6).alias("recall_hi"),
+    )
