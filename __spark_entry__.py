@@ -2946,6 +2946,22 @@ def q_kg_eval_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_bootstrap_ci(computed, gold, n_boot=200)
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (operators/graph.py k_truss, k=4, 2 rounds) over
+    the SimHash similarity graph: edges embedded in >= 2 triangles of the
+    surviving subgraph — the edge-grade cohesion filter that strips
+    bridge edges degree screens keep. The near-dup graph is a union of
+    cliques whose triangle count grows cubically; the query thins edges
+    by a deterministic (src+dst) %% 3 == 0 cut (mirrored in the oracle)
+    so the CONTRACT check stays minutes-cheap while the operator's
+    per-round shape is exercised unchanged."""
+    from waka_spark.operators.graph import k_truss
+
+    g = _simhash_graph(spark, sf_dir).filter(
+        (F.col("src") + F.col("dst")) % 3 == 0)
+    return k_truss(g, k=4, n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3129,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_novelty": q_text_vocab_novelty,
         "multimodal_chunk_dedup": q_multimodal_chunk_dedup,
         "kg_eval_bootstrap": q_kg_eval_bootstrap,
+        "graph_ktruss": q_graph_ktruss,
     }
 
 
@@ -7783,6 +7800,67 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(r, 0.025), 6) AS recall_lo,
                    round(quantile_cont(r, 0.975), 6) AS recall_hi
             FROM f
+        """,
+        "graph_ktruss": f"""
+            WITH {_SIMHASH_PAIRS_CTES},
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM sh_pairs
+              WHERE doc_a <> doc_b AND (doc_a + doc_b) % 3 = 0
+            ),
+            tri1 AS MATERIALIZED (
+  SELECT e1.a, e1.b AS m, e2.b AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e1.b = e2.a
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+supp1 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a, m AS b FROM tri1
+    UNION ALL SELECT m AS a, c AS b FROM tri1
+    UNION ALL SELECT a, c AS b FROM tri1
+  ) GROUP BY a, b
+),
+            e1 AS MATERIALIZED (
+              SELECT e0.a, e0.b FROM e0
+              JOIN supp1 s ON e0.a = s.a AND e0.b = s.b
+              WHERE s.support >= 2
+            ),
+            tri2 AS MATERIALIZED (
+  SELECT e1.a, e1.b AS m, e2.b AS c
+  FROM e1 e1
+  JOIN e1 e2 ON e1.b = e2.a
+  JOIN e1 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+supp2 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a, m AS b FROM tri2
+    UNION ALL SELECT m AS a, c AS b FROM tri2
+    UNION ALL SELECT a, c AS b FROM tri2
+  ) GROUP BY a, b
+),
+            e2 AS MATERIALIZED (
+              SELECT e1.a, e1.b FROM e1
+              JOIN supp2 s ON e1.a = s.a AND e1.b = s.b
+              WHERE s.support >= 2
+            ),
+            tri3 AS MATERIALIZED (
+  SELECT e1.a, e1.b AS m, e2.b AS c
+  FROM e2 e1
+  JOIN e2 e2 ON e1.b = e2.a
+  JOIN e2 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+supp3 AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a, m AS b FROM tri3
+    UNION ALL SELECT m AS a, c AS b FROM tri3
+    UNION ALL SELECT a, c AS b FROM tri3
+  ) GROUP BY a, b
+)
+            SELECT e2.a AS node_a, e2.b AS node_b,
+                   coalesce(s.support, 0) AS support
+            FROM e2 LEFT JOIN supp3 s ON e2.a = s.a AND e2.b = s.b
         """,
     }
 

@@ -157,6 +157,7 @@ EXTRAS = [
     "text_vocab_novelty",
     "multimodal_chunk_dedup",
     "kg_eval_bootstrap",
+    "graph_ktruss",
 ]
 
 

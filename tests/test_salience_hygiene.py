@@ -381,3 +381,23 @@ def test_bootstrap_ci_degenerate_and_ordering(spark):
     assert r["f1_lo"] <= r["f1_mean"] <= r["f1_hi"]
     assert 0.0 < r["recall_lo"] <= r["recall_hi"] < 1.0
     assert r["precision_hi"] == 1.0  # computed is a subset of gold
+
+
+def test_k_truss_keeps_cliques_drops_bridges(spark):
+    from waka_spark.operators.graph import k_truss, symmetrize
+
+    # 4-clique a,b,c,d + bridge d-e + separate triangle x,y,z
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    und = clique + [("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")]
+    edges = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    # k=4: every clique edge sits in 2 triangles -> kept with support 2;
+    # the bridge (0 triangles) and the lone triangle (support 1) drop
+    got = {(r["node_a"], r["node_b"]): r["support"]
+           for r in k_truss(edges, k=4, n_iter=2).collect()}
+    assert set(got) == {tuple(sorted(e)) for e in clique}
+    assert all(s == 2 for s in got.values())
+    # k=3: the triangle survives too (support >= 1), bridge still drops
+    got3 = {(r["node_a"], r["node_b"]) for r in k_truss(
+        edges, k=3, n_iter=2).collect()}
+    assert ("x", "y") in got3 and ("d", "e") not in got3

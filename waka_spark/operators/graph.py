@@ -921,3 +921,74 @@ def personalized_pagerank(
     for helper in (out_edges, nodes, seed_nodes):
         helper.unpersist(False)
     return ranks
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss peeling: keep edges supported by ≥ k−2 triangles in the
+    surviving subgraph, iterated ``n_iter`` rounds — the EDGE-grade
+    cohesion filter (Cohen 2008). Where k-core keeps well-connected
+    NODES, the truss keeps edges embedded in triangle-dense
+    neighborhoods: on a KG/similarity graph it strips the spurious
+    bridge edges that survive degree screens but belong to no cluster.
+    Like :func:`k_core`, the fixed round budget is deterministic and
+    oracle-portable; peeling is monotone (the edge set only shrinks), so
+    ``n_iter`` rounds give the exact truss whenever convergence happens
+    earlier and a documented over-approximation otherwise.
+
+    Scale shape per round: one degree-ordered triangle enumeration
+    (:func:`_oriented_triangles` — O(m^1.5) wedge work regardless of hub
+    degree), a 3-corner fan-out to per-edge support counts (one
+    hash-agg), and an inner join + filter back onto the canonical edge
+    list (edges in no triangle have support 0 and drop via the join).
+    Round state is the canonical edge list only, eagerly checkpointed
+    and released (plans/iterate.py).
+
+    Output: (node_a, node_b, support) for surviving edges, with support
+    recomputed on the FINAL subgraph.
+    """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
+    canon = ck.checkpoint(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def edge_support(e: DataFrame) -> DataFrame:
+        _, tris = _oriented_triangles(e, "a", "b")
+        corners = (
+            tris.select(F.least("u", "x").alias("a"),
+                        F.greatest("u", "x").alias("b"))
+            .unionByName(tris.select(F.least("u", "y").alias("a"),
+                                     F.greatest("u", "y").alias("b")))
+            .unionByName(tris.select(F.least("x", "y").alias("a"),
+                                     F.greatest("x", "y").alias("b")))
+        )
+        return corners.groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("support"))
+
+    for _ in range(n_iter):
+        supp = edge_support(canon)
+        new_canon = ck.checkpoint(
+            canon.join(supp, ["a", "b"])
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
+        ck.release(canon)
+        canon = new_canon
+
+    final = canon.join(edge_support(canon), ["a", "b"], "left").select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+    return final
