@@ -2962,6 +2962,25 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(g, k=4, n_iter=2)
 
 
+def q_tool_retry_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool retry-and-recovery profile (operators/tools.py
+    tool_retry_recovery): after an erroring call, is the same tool
+    re-invoked within 6 turns and does the retry succeed — transient-vs-
+    broken tool separation for trajectory filtering."""
+    from waka_spark.operators.tools import tool_retry_recovery
+
+    return tool_retry_recovery(_tool_transcripts(spark, sf_dir))
+
+
+def q_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tool-call trigrams (operators/tools.py tool_trigrams):
+    length-3 consecutive-call motifs with occurrence and conversation
+    support — workflow mining over the agent transcripts."""
+    from waka_spark.operators.tools import tool_trigrams
+
+    return tool_trigrams(_tool_transcripts(spark, sf_dir), min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3146,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_chunk_dedup": q_multimodal_chunk_dedup,
         "kg_eval_bootstrap": q_kg_eval_bootstrap,
         "graph_ktruss": q_graph_ktruss,
+        "tool_retry_recovery": q_tool_retry_recovery,
+        "tool_trigrams": q_tool_trigrams,
     }
 
 
@@ -7861,6 +7882,56 @@ supp3 AS MATERIALIZED (
             SELECT e2.a AS node_a, e2.b AS node_b,
                    coalesce(s.support, 0) AS support
             FROM e2 LEFT JOIN supp3 s ON e2.a = s.a AND e2.b = s.b
+        """,
+        "tool_retry_recovery": f"""
+            WITH t AS ({_TOOLTR}),
+            calls AS (
+              SELECT tool, turn_idx,
+                     (regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                        LIKE 'error%') AS err,
+                     lead(turn_idx) OVER w AS next_turn,
+                     lead((regexp_replace(lower(trim(text)), '\\s+', ' ',
+                        'g') LIKE 'error%')) OVER w AS next_err
+              FROM t WHERE tool IS NOT NULL
+              WINDOW w AS (PARTITION BY conv_id, tool ORDER BY turn_idx)
+            ),
+            e AS (
+              SELECT tool,
+                     CASE WHEN next_turn IS NOT NULL
+                           AND next_turn - turn_idx <= 6
+                          THEN 1 ELSE 0 END AS retried,
+                     CASE WHEN next_turn IS NOT NULL
+                           AND next_turn - turn_idx <= 6
+                           AND NOT next_err
+                          THEN 1 ELSE 0 END AS recovered
+              FROM calls WHERE err
+            )
+            SELECT tool,
+                   CAST(count(*) AS BIGINT) AS n_errors,
+                   CAST(sum(retried) AS BIGINT) AS n_retried,
+                   CAST(sum(recovered) AS BIGINT) AS n_recovered,
+                   round(CASE WHEN count(*) > 0
+                              THEN sum(retried) * 1.0 / count(*) END, 6)
+                     AS retry_rate,
+                   round(CASE WHEN sum(retried) > 0
+                              THEN sum(recovered) * 1.0 / sum(retried)
+                         END, 6) AS recovery_rate
+            FROM e GROUP BY tool
+        """,
+        "tool_trigrams": f"""
+            WITH t AS ({_TOOLTR}),
+            seq AS (
+              SELECT conv_id, tool AS tool_3,
+                     lag(tool, 1) OVER w AS tool_2,
+                     lag(tool, 2) OVER w AS tool_1
+              FROM t WHERE tool IS NOT NULL
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT tool_1, tool_2, tool_3,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM seq WHERE tool_1 IS NOT NULL
+            GROUP BY 1, 2, 3 HAVING count(*) >= 2
         """,
     }
 

@@ -158,6 +158,8 @@ EXTRAS = [
     "multimodal_chunk_dedup",
     "kg_eval_bootstrap",
     "graph_ktruss",
+    "tool_retry_recovery",
+    "tool_trigrams",
 ]
 
 

@@ -106,3 +106,59 @@ def test_tool_error_streaks_breaks_on_ok_turn(spark):
         key=lambda r: r["start_turn"])
     assert [(r["start_turn"], r["end_turn"], r["streak_len"], r["tool"])
             for r in got] == [(0, 1, 2, "x"), (3, 5, 3, "y")]
+
+
+def test_tool_retry_recovery(spark):
+    import datetime as dt
+
+    from waka_spark.operators.tools import tool_retry_recovery
+
+    ts0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # search: error at 0, retried at 2 (ok) -> recovered
+        ("c1", 0, "tool", "error: boom", "search", ts0),
+        ("c1", 2, "tool", "ok now", "search", ts0),
+        # browser: error at 1, retry at 9 -> gap 8 > 6, not retried
+        ("c1", 1, "tool", "Error: 500", "browser", ts0),
+        ("c1", 9, "tool", "fine", "browser", ts0),
+        # bash: error at 3, retried at 5 with another error
+        ("c2", 3, "tool", "error x", "bash", ts0),
+        ("c2", 5, "tool", "error y", "bash", ts0),
+        # python: success only -> no row
+        ("c2", 0, "tool", "ok", "python", ts0),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {r["tool"]: r for r in tool_retry_recovery(t).collect()}
+    assert set(got) == {"search", "browser", "bash"}
+    s = got["search"]
+    assert (s["n_errors"], s["n_retried"], s["n_recovered"]) == (1, 1, 1)
+    assert s["recovery_rate"] == 1.0
+    b = got["browser"]
+    assert (b["n_retried"], b["retry_rate"]) == (0, 0.0)
+    assert b["recovery_rate"] is None  # no retries -> undefined, not 0
+    ba = got["bash"]
+    # second bash error has no successor: counted as unretried error
+    assert (ba["n_errors"], ba["n_retried"], ba["n_recovered"]) == (2, 1, 0)
+
+
+def test_tool_trigrams_consecutive_motifs(spark):
+    import datetime as dt
+
+    from waka_spark.operators.tools import tool_trigrams
+
+    ts0 = dt.datetime(2024, 1, 1)
+    seq = ["search", "browser", "python", "search", "browser", "python"]
+    rows = [("c1", i, "tool", "ok", t, ts0) for i, t in enumerate(seq)]
+    rows += [("c1", 10, "user", "hi", None, ts0)]  # non-tool: ignored
+    rows += [("c2", i, "tool", "ok", t, ts0)
+             for i, t in enumerate(["search", "browser", "python"])]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {(r["tool_1"], r["tool_2"], r["tool_3"]): r
+           for r in tool_trigrams(t, min_count=2).collect()}
+    key = ("search", "browser", "python")
+    assert key in got
+    assert got[key]["n_occurrences"] == 3 and got[key]["n_convs"] == 2

@@ -199,3 +199,108 @@ def tool_error_streaks(
         .filter(F.col("streak_len") >= min_len)
         .select("conv_id", "tool", "start_turn", "end_turn", "streak_len")
     )
+
+
+def tool_retry_recovery(
+    transcripts: DataFrame,
+    max_gap_turns: int = 6,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool retry-and-recovery profile: after an ERRORING call of a
+    tool, does the SAME tool get re-invoked in that conversation within
+    ``max_gap_turns`` turns, and does the retry succeed? Separates
+    transient failures (high recovery — keep the trajectory, it teaches
+    error handling) from broken tools (low recovery — the trajectories
+    are thrashing and poison tool-use SFT).
+
+    One window pass: ``lead`` of (turn_idx, error-flag) over
+    (conv, tool) ordered by turn — the retry IS the next same-tool call
+    — then one hash agg per tool. Single shuffle keyed (conv, tool).
+
+    Output: (tool, n_errors, n_retried, n_recovered, retry_rate,
+    recovery_rate); rates NULL when their denominator is 0 (no errors /
+    no retries), never silently 0.
+    """
+    w = Window.partitionBy("_conv", "tool").orderBy(F.col("_turn"))
+    calls = (
+        transcripts.filter(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("_conv"),
+            F.col(tool_col).alias("tool"),
+            F.col(turn_col).alias("_turn"),
+            _is_error(text_col).alias("_err"),
+        )
+        .withColumn("_next_turn", F.lead("_turn").over(w))
+        .withColumn("_next_err", F.lead("_err").over(w))
+    )
+    errs = calls.filter(F.col("_err"))
+    retried = (
+        F.col("_next_turn").isNotNull()
+        & ((F.col("_next_turn") - F.col("_turn")) <= max_gap_turns)
+    )
+    recovered = retried & ~F.col("_next_err")
+    return (
+        errs.groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_errors"),
+            F.sum(retried.cast("int")).cast("long").alias("n_retried"),
+            F.sum(recovered.cast("int")).cast("long").alias("n_recovered"),
+        )
+        .select(
+            "tool", "n_errors", "n_retried", "n_recovered",
+            F.round(
+                F.when(F.col("n_errors") > 0,
+                       F.col("n_retried") / F.col("n_errors")), 6
+            ).alias("retry_rate"),
+            F.round(
+                F.when(F.col("n_retried") > 0,
+                       F.col("n_recovered") / F.col("n_retried")), 6
+            ).alias("recovery_rate"),
+        )
+    )
+
+
+def tool_trigrams(
+    transcripts: DataFrame,
+    min_count: int = 2,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Frequent length-3 tool-call sequences within conversations — the
+    next step up from :func:`tool_transitions`' bigrams: workflow motifs
+    (search → browser → python) that tool-use curricula sample for, and
+    degenerate motifs (x → x → x) that flag thrash. Counted over
+    CONSECUTIVE tool calls (intervening user/assistant turns don't break
+    the chain, matching tool_transitions' sequence semantics).
+
+    Two ``lag``s over ONE (conv) × turn sort + one hash agg — the same
+    single-shuffle shape as the bigram operator.
+
+    Output: (tool_1, tool_2, tool_3, n_occurrences, n_convs), sequences
+    with ≥ ``min_count`` occurrences.
+    """
+    seq = (
+        transcripts.filter(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("_turn"),
+            F.col(tool_col).alias("tool_3"),
+        )
+        .withColumn("tool_2", F.lag("tool_3", 1).over(
+            Window.partitionBy("conv_id").orderBy("_turn")))
+        .withColumn("tool_1", F.lag("tool_3", 2).over(
+            Window.partitionBy("conv_id").orderBy("_turn")))
+        .filter(F.col("tool_1").isNotNull())
+    )
+    return (
+        seq.groupBy("tool_1", "tool_2", "tool_3")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
