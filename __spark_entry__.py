@@ -2981,6 +2981,29 @@ def q_tool_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_trigrams(_tool_transcripts(spark, sf_dir), min_count=2)
 
 
+def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed assistant-slop monitor (streaming/ingest.py
+    streaming_hygiene_rates, batch face): per 10-minute tumbling window,
+    apology/refusal/hedge turn rates over assistant turns — markers
+    injected on the reconstructed doc_id (conv + 50*turn) classes so all
+    three patterns fire; window starts emitted as tz-free epoch
+    seconds."""
+    from waka_spark.streaming.ingest import streaming_hygiene_rates
+
+    t = _tool_transcripts(spark, sf_dir)
+    d = F.col("conv_id").cast("int") + 50 * F.col("turn_idx")
+    marker = (
+        F.when(d % 6 == 1, F.lit("Sorry, I was wrong. "))
+        .when(d % 10 == 2, F.lit("I cannot help with that. "))
+        .when(d % 7 == 3, F.lit("Perhaps we should retry. "))
+        .otherwise(F.lit(""))
+    )
+    t = t.withColumn("text", F.concat(marker, F.col("text")))
+    out = streaming_hygiene_rates(t)
+    return out.withColumn(
+        "window_start", F.unix_timestamp("window_start"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3167,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "tool_retry_recovery": q_tool_retry_recovery,
         "tool_trigrams": q_tool_trigrams,
+        "stream_hygiene": q_stream_hygiene,
     }
 
 
@@ -7932,6 +7956,42 @@ supp3 AS MATERIALIZED (
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM seq WHERE tool_1 IS NOT NULL
             GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        """,
+        "stream_hygiene": rf"""
+            WITH t AS ({_TOOLTR}),
+            d AS (
+              SELECT role, ts_s,
+                     CASE WHEN (CAST(conv_id AS INT) + 50 * turn_idx)
+                               % 6 = 1 THEN 'Sorry, I was wrong. '
+                          WHEN (CAST(conv_id AS INT) + 50 * turn_idx)
+                               % 10 = 2 THEN 'I cannot help with that. '
+                          WHEN (CAST(conv_id AS INT) + 50 * turn_idx)
+                               % 7 = 3 THEN 'Perhaps we should retry. '
+                          ELSE '' END || text AS text
+              FROM t
+            ),
+            f AS (
+              SELECT ts_s - ts_s % 600 AS window_start,
+                     CASE WHEN regexp_matches(lower(text),
+                       '\b(sorry|apologi[sz]e|apology|my mistake)')
+                       THEN 1 ELSE 0 END AS ap,
+                     CASE WHEN regexp_matches(lower(text),
+                       '\b(i cannot|i can''t|i won''t|as an ai)\b')
+                       THEN 1 ELSE 0 END AS re,
+                     CASE WHEN regexp_matches(lower(text),
+                       '\b(perhaps|possibly|might|it seems|i think)\b')
+                       THEN 1 ELSE 0 END AS he
+              FROM d WHERE role = 'assistant'
+            )
+            SELECT CAST(window_start AS BIGINT) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_assistant,
+                   CAST(sum(ap) AS BIGINT) AS n_apology,
+                   CAST(sum(re) AS BIGINT) AS n_refusal,
+                   CAST(sum(he) AS BIGINT) AS n_hedge,
+                   round(sum(ap) * 1.0 / count(*), 6) AS apology_rate,
+                   round(sum(re) * 1.0 / count(*), 6) AS refusal_rate,
+                   round(sum(he) * 1.0 / count(*), 6) AS hedge_rate
+            FROM f GROUP BY window_start
         """,
     }
 

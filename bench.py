@@ -160,6 +160,7 @@ EXTRAS = [
     "graph_ktruss",
     "tool_retry_recovery",
     "tool_trigrams",
+    "stream_hygiene",
 ]
 
 

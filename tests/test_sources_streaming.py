@@ -490,3 +490,43 @@ def test_stream_fact_history_matches_batch_and_merges_batches(
 
     assert sorted(map(key, got.collect())) == sorted(
         map(key, fact_history(batch_facts).collect()))
+
+
+def test_streaming_hygiene_rates_real_stream(spark, tmp_path):
+    """Windowed slop rates over a real file stream, using the batch
+    hygiene regexes."""
+    import datetime as dt
+
+    from waka_spark import schemas
+    from waka_spark.streaming.ingest import (
+        stream_transcripts,
+        streaming_hygiene_rates,
+    )
+
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("c1", 0, "assistant", "Sorry, my mistake.", None, ts0),
+        ("c1", 1, "assistant", "all good", None, ts0),
+        ("c1", 2, "user", "sorry not counted", None, ts0),  # role filter
+        # next window
+        ("c2", 0, "assistant", "I cannot help with that", None,
+         ts0 + dt.timedelta(minutes=12)),
+    ]
+    in_dir = tmp_path / "turns_hy"
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).write.parquet(
+        str(in_dir))
+    q = (
+        streaming_hygiene_rates(stream_transcripts(spark, str(in_dir)))
+        .writeStream.format("memory").queryName("hy_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["window_start"]: r for r in spark.sql(
+        "SELECT * FROM hy_out").collect()}
+    w1 = got[dt.datetime(2024, 1, 1, 10, 0, 0)]
+    assert (w1["n_assistant"], w1["n_apology"]) == (2, 1)
+    assert w1["apology_rate"] == 0.5
+    w2 = got[dt.datetime(2024, 1, 1, 10, 10, 0)]
+    assert (w2["n_assistant"], w2["n_refusal"]) == (1, 1)

@@ -394,3 +394,49 @@ def run_stream_fact_history(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hygiene_rates(
+    turns: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Live assistant-slop monitor: per tumbling window, the apology /
+    refusal / hedge turn rates over the assistant stream — the streaming
+    face of ``operators/transcripts.assistant_hygiene`` (same regexes via
+    the shared defaults, so stream and batch agree on what counts as
+    slop). A rate spike is the first signal a deployed model or prompt
+    change started apologizing/refusing its way through live traffic —
+    caught per window, not after the corpus lands.
+
+    State is one row per open window, evicted by the watermark; works
+    identically on batch frames (how the oracle checks it).
+    """
+    from waka_spark.operators.transcripts import assistant_hygiene
+
+    defaults = assistant_hygiene.__defaults__
+    apology_re, refusal_re, hedge_re = defaults[0], defaults[1], defaults[2]
+    grouped = turns
+    if turns.isStreaming:
+        grouped = turns.withWatermark("ts", watermark)
+    low = F.lower(F.col("text"))
+    return (
+        grouped.filter(F.col("role") == "assistant")
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_assistant"),
+            F.sum(low.rlike(apology_re).cast("long")).alias("n_apology"),
+            F.sum(low.rlike(refusal_re).cast("long")).alias("n_refusal"),
+            F.sum(low.rlike(hedge_re).cast("long")).alias("n_hedge"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_assistant", "n_apology", "n_refusal", "n_hedge",
+            F.round(F.col("n_apology") / F.col("n_assistant"), 6)
+            .alias("apology_rate"),
+            F.round(F.col("n_refusal") / F.col("n_assistant"), 6)
+            .alias("refusal_rate"),
+            F.round(F.col("n_hedge") / F.col("n_assistant"), 6)
+            .alias("hedge_rate"),
+        )
+    )
