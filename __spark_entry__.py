@@ -3004,6 +3004,16 @@ def q_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", F.unix_timestamp("window_start"))
 
 
+def q_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user value aggregate (operators/temporal.py
+    time_decayed_sum, 1-day half-life): exponential decay anchored at
+    each user's last event — the freshness feature windowed sums can't
+    express. One shuffle (window max + agg share the user_id exchange)."""
+    from waka_spark.operators.temporal import time_decayed_sum
+
+    return time_decayed_sum(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3191,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_retry_recovery": q_tool_retry_recovery,
         "tool_trigrams": q_tool_trigrams,
         "stream_hygiene": q_stream_hygiene,
+        "events_decay": q_events_decay,
     }
 
 
@@ -7992,6 +8003,27 @@ supp3 AS MATERIALIZED (
                    round(sum(re) * 1.0 / count(*), 6) AS refusal_rate,
                    round(sum(he) * 1.0 / count(*), 6) AS hedge_rate
             FROM f GROUP BY window_start
+        """,
+        "events_decay": """
+            WITH g AS (
+              SELECT user_id AS key,
+                     epoch_us(ts) AS us,
+                     max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx,
+                     CAST(value AS DOUBLE) AS v
+              FROM events
+            ),
+            w AS (
+              SELECT key, us,
+                     v * pow(0.5, (mx - us) / 86400000000.0) AS wx,
+                     pow(0.5, (mx - us) / 86400000000.0) AS wt
+              FROM g
+            )
+            SELECT key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(us) // 1000000 AS BIGINT) AS last_ts_s,
+                   round(sum(wx), 6) AS decayed_sum,
+                   round(sum(wx) / sum(wt), 6) AS decayed_avg
+            FROM w GROUP BY key
         """,
     }
 

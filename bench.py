@@ -161,6 +161,7 @@ EXTRAS = [
     "tool_retry_recovery",
     "tool_trigrams",
     "stream_hygiene",
+    "events_decay",
 ]
 
 

@@ -401,3 +401,25 @@ def test_k_truss_keeps_cliques_drops_bridges(spark):
     got3 = {(r["node_a"], r["node_b"]) for r in k_truss(
         edges, k=3, n_iter=2).collect()}
     assert ("x", "y") in got3 and ("d", "e") not in got3
+
+
+def test_time_decayed_sum_halves_per_half_life(spark):
+    from waka_spark.operators.temporal import time_decayed_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),                             # 2 half-lives old -> x0.25
+        (1, t0 + dt.timedelta(days=1), 10.0),      # 1 half-life -> x0.5
+        (1, t0 + dt.timedelta(days=2), 10.0),      # at t_last -> x1
+        (2, t0, 4.0),                              # single event -> weight 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["key"]: r for r in time_decayed_sum(
+        df, half_life_sec=86400.0).collect()}
+    r1 = got[1]
+    assert r1["n_events"] == 3
+    assert r1["decayed_sum"] == pytest.approx(10 * (0.25 + 0.5 + 1.0))
+    assert r1["decayed_avg"] == pytest.approx(10.0)  # constant values
+    assert got[2]["decayed_sum"] == pytest.approx(4.0)
+    assert got[2]["last_ts_s"] == int(t0.replace(
+        tzinfo=dt.timezone.utc).timestamp())

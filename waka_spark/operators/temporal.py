@@ -749,3 +749,52 @@ def merge_fact_history(
         obj_col=obj_col, ts_col=ts_col,
     )
     return untouched.unionByName(rebuilt)
+
+
+def time_decayed_sum(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_sec: float = 86400.0,
+) -> DataFrame:
+    """Per-key exponentially time-decayed value aggregate, evaluated at
+    the key's LAST event: decayed_sum = Σ xᵢ · 0.5^((t_last − tᵢ)/h) —
+    the recency-weighted engagement/score feature (user activity decay,
+    entity mention recency, tool-usage freshness) that a plain windowed
+    sum can't express because its weight is continuous in time, not a
+    cutoff. ``decayed_avg`` normalizes by the decayed weight mass, giving
+    a recency-weighted mean value.
+
+    Scale shape: one window ``max`` for t_last sharing the exchange with
+    the final per-key hash agg (the agg key equals the window partition
+    key, so Catalyst plans ONE shuffle); weights are evaluated in-row.
+    Exponent inputs are exact integer microsecond differences divided by
+    a literal, so both engines feed ``pow`` identical doubles; the
+    round-6 output absorbs libm-vs-JVM last-ulp pow differences (the
+    same tolerance every ln()-based oracle here relies on).
+
+    Output: (key, n_events, last_ts_s, decayed_sum, decayed_avg).
+    """
+    w = Window.partitionBy(key_col)
+    us = epoch_us(F.col(ts_col))
+    decay = F.pow(
+        F.lit(0.5),
+        (F.max(us).over(w) - us)
+        / F.lit(half_life_sec * 1_000_000.0),
+    )
+    weighted = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("_us"),
+        (F.col(value_col) * decay).alias("_wx"),
+        decay.alias("_w"),
+    )
+    return (
+        weighted.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("_us") / 1_000_000).cast("long").alias("last_ts_s"),
+            F.round(F.sum("_wx"), 6).alias("decayed_sum"),
+            F.round(F.sum("_wx") / F.sum("_w"), 6).alias("decayed_avg"),
+        )
+    )
