@@ -3014,6 +3014,15 @@ def q_events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decayed_sum(_t(spark, sf_dir, "events"))
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability surface (operators/textstats.py
+    readability_scores): words/sentence + vowel-group syllable proxy +
+    the Flesch formula, all zero-shuffle column arithmetic."""
+    from waka_spark.operators.textstats import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3202,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_trigrams": q_tool_trigrams,
         "stream_hygiene": q_stream_hygiene,
         "events_decay": q_events_decay,
+        "text_readability": q_text_readability,
     }
 
 
@@ -8024,6 +8034,39 @@ supp3 AS MATERIALIZED (
                    round(sum(wx), 6) AS decayed_sum,
                    round(sum(wx) / sum(wt), 6) AS decayed_avg
             FROM w GROUP BY key
+        """,
+        "text_readability": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> x <> '') AS words
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     greatest(len(words), 1) AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                     list_sum(list_transform(words, x -> greatest(
+                       len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+                       AS n_syllables
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   round(n_words * 1.0 / n_sentences, 6)
+                     AS words_per_sentence,
+                   round(n_syllables * 1.0 / n_words, 6)
+                     AS syllables_per_word,
+                   round(CAST(206.835 AS DOUBLE)
+                         - CAST(1.015 AS DOUBLE)
+                           * (n_words * 1.0 / n_sentences)
+                         - CAST(84.6 AS DOUBLE)
+                           * (n_syllables * 1.0 / n_words), 4) AS flesch
+            FROM c
         """,
     }
 

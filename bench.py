@@ -162,6 +162,7 @@ EXTRAS = [
     "tool_trigrams",
     "stream_hygiene",
     "events_decay",
+    "text_readability",
 ]
 
 

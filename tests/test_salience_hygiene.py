@@ -423,3 +423,22 @@ def test_time_decayed_sum_halves_per_half_life(spark):
     assert got[2]["decayed_sum"] == pytest.approx(4.0)
     assert got[2]["last_ts_s"] == int(t0.replace(
         tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_readability_scores_hand_computed(spark):
+    from waka_spark.operators.textstats import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r = got[1]
+    # 6 words, 2 sentences; syllables: the/cat/sat/the/dog/ran = 1 each
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (2, 6, 1 * 6)
+    assert r["words_per_sentence"] == pytest.approx(3.0)
+    assert r["syllables_per_word"] == pytest.approx(1.0)
+    assert r["flesch"] == pytest.approx(
+        round(206.835 - 1.015 * 3 - 84.6 * 1, 4))
+    # empty doc: floors keep every denominator alive
+    assert got[2]["n_words"] == 1 and got[2]["n_sentences"] == 1

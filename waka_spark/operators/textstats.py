@@ -726,3 +726,52 @@ def vocab_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style readability surface: words/sentence, syllables/word
+    (vowel-group proxy — the standard dictionary-free approximation),
+    and the Flesch Reading Ease formula over them. The classic
+    complexity gate a curation mix applies alongside Gopher rules:
+    pathologically "easy" text is boilerplate/lists, pathologically
+    "hard" text is code/garbage, both worth routing differently.
+
+    Everything is narrow column arithmetic on regexp counts — zero
+    shuffle, zero UDF, whole-stage codegen (same scan-bound shape as
+    ``script_profile``). Sentences = runs ending in ``[.!?]`` (min 1);
+    syllables = vowel groups ``[aeiouy]+`` per lowercased word (min 1
+    per word).
+
+    Output: (doc_id, n_sentences, n_words, n_syllables,
+    words_per_sentence, syllables_per_word, flesch), ratios round-6,
+    flesch = 206.835 − 1.015·w/s − 84.6·syl/w (round-4 — the formula's
+    customary precision).
+    """
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)), F.lit(1))
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1)),
+    )
+    wps = n_words / n_sent
+    spw = syl / n_words
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch"),
+    )
