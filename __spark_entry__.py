@@ -3023,6 +3023,25 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-neighborhood extraction (operators/graph.py extract_subgraph):
+    the induced edge set within 2 hops of the doc_id % 97 == 0 seeds on
+    the SimHash graph — one bounded BFS + two endpoint joins."""
+    from waka_spark.operators.graph import extract_subgraph
+
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    out = extract_subgraph(_simhash_graph(spark, sf_dir), seeds, n_hops=2)
+    return out.select(
+        "src", "dst",
+        F.col("src_dist").cast("long").alias("src_dist"),
+        F.col("dst_dist").cast("long").alias("dst_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3212,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hygiene": q_stream_hygiene,
         "events_decay": q_events_decay,
         "text_readability": q_text_readability,
+        "graph_subgraph": q_graph_subgraph,
     }
 
 
@@ -8067,6 +8087,33 @@ supp3 AS MATERIALIZED (
                          - CAST(84.6 AS DOUBLE)
                            * (n_syllables * 1.0 / n_words), 4) AS flesch
             FROM c
+        """,
+        "graph_subgraph": f"""
+            WITH {_SIMHASH_GRAPH_CTES},
+            d0 AS (SELECT doc_id AS node, 0 AS dist FROM documents
+                   WHERE doc_id % 97 = 0),
+            d1 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst AS node, d.dist + 1 AS dist
+                FROM g_edges e JOIN d0 d ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d2 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst AS node, d.dist + 1 AS dist
+                FROM g_edges e JOIN d1 d ON e.src = d.node
+              ) GROUP BY node
+            )
+            SELECT e.src, e.dst,
+                   CAST(ds.dist AS BIGINT) AS src_dist,
+                   CAST(dd.dist AS BIGINT) AS dst_dist
+            FROM g_edges e
+            JOIN d2 ds ON e.src = ds.node
+            JOIN d2 dd ON e.dst = dd.node
         """,
     }
 

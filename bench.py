@@ -163,6 +163,7 @@ EXTRAS = [
     "stream_hygiene",
     "events_decay",
     "text_readability",
+    "graph_subgraph",
 ]
 
 

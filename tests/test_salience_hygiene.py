@@ -442,3 +442,18 @@ def test_readability_scores_hand_computed(spark):
         round(206.835 - 1.015 * 3 - 84.6 * 1, 4))
     # empty doc: floors keep every denominator alive
     assert got[2]["n_words"] == 1 and got[2]["n_sentences"] == 1
+
+
+def test_extract_subgraph_both_endpoint_semantics(spark):
+    from waka_spark.operators.graph import extract_subgraph, symmetrize
+
+    # path a-b-c-d-e, seed a, 2 hops: reached {a,b,c}; edge c-d drops
+    # because d is outside the horizon (both-endpoint rule)
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {(r["src"], r["dst"]): (r["src_dist"], r["dst_dist"])
+           for r in extract_subgraph(edges, seeds, n_hops=2).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+    assert got[("a", "b")] == (0, 1)
+    assert got[("b", "c")] == (1, 2)

@@ -992,3 +992,40 @@ def k_truss(
         F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
     return final
+
+
+def extract_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Seed-neighborhood subgraph extraction: the edges whose BOTH
+    endpoints lie within ``n_hops`` of any seed — "give me the graph
+    around THESE entities", the query every KG exploration/debugging
+    session starts with, and the locality cut that turns a 10^10-node
+    graph into a workstation-sized working set before expensive per-node
+    analysis.
+
+    Composition: one bounded :func:`bfs_distances` pass (per-round
+    (node, dist) state only), then the edge list joins the distance
+    table on each endpoint — two hash joins on the node key, no windows.
+    Edges to nodes OUTSIDE the horizon drop (both-endpoint semantics:
+    the induced subgraph on the reached node set).
+
+    Output: (src, dst, src_dist, dst_dist).
+    """
+    dist = bfs_distances(edges, seeds, n_iter=n_hops, src=src, dst=dst,
+                         node=node)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return (
+        e.join(
+            dist.select(F.col("node").alias("src"),
+                        F.col("dist").alias("src_dist")), "src")
+        .join(
+            dist.select(F.col("node").alias("dst"),
+                        F.col("dist").alias("dst_dist")), "dst")
+        .select("src", "dst", "src_dist", "dst_dist")
+    )
