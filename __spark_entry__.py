@@ -3042,6 +3042,16 @@ def q_graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant copy-rate (operators/transcripts.py assistant_echo_rate):
+    per-conversation mean/max fraction of assistant vocabulary echoed
+    from the preceding user turn — the parroting gate beside loops and
+    hygiene."""
+    from waka_spark.operators.transcripts import assistant_echo_rate
+
+    return assistant_echo_rate(_role_transcripts(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3232,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decay": q_events_decay,
         "text_readability": q_text_readability,
         "graph_subgraph": q_graph_subgraph,
+        "conv_echo": q_conv_echo,
     }
 
 
@@ -8114,6 +8125,36 @@ supp3 AS MATERIALIZED (
             FROM g_edges e
             JOIN d2 ds ON e.src = ds.node
             JOIN d2 dd ON e.dst = dd.node
+        """,
+        "conv_echo": rf"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id, CAST({_TURN} AS INT) AS turn_idx,
+                     (['user', 'assistant', 'tool'])[({_TURN} % 3) + 1]
+                       AS role,
+                     list_distinct(list_filter(string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' '), x -> x <> '')) AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT conv_id, role, toks,
+                     lag(role) OVER w AS prev_role,
+                     lag(toks) OVER w AS prev_toks
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            e AS (
+              SELECT conv_id,
+                     CAST(len(list_intersect(toks, prev_toks)) AS DOUBLE)
+                       / len(toks) AS echo
+              FROM p
+              WHERE role = 'assistant' AND prev_role = 'user'
+                AND len(toks) > 0 AND len(prev_toks) > 0
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(avg(echo), 6) AS mean_echo,
+                   round(max(echo), 6) AS max_echo
+            FROM e GROUP BY conv_id
         """,
     }
 

@@ -164,6 +164,7 @@ EXTRAS = [
     "events_decay",
     "text_readability",
     "graph_subgraph",
+    "conv_echo",
 ]
 
 

@@ -457,3 +457,22 @@ def test_extract_subgraph_both_endpoint_semantics(spark):
     assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
     assert got[("a", "b")] == (0, 1)
     assert got[("b", "c")] == (1, 2)
+
+
+def test_assistant_echo_rate_role_pairing(spark):
+    from waka_spark.operators.transcripts import assistant_echo_rate
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "alpha beta gamma"),
+            ("c1", 1, "assistant", "alpha beta delta"),  # echo 2/3
+            ("c1", 2, "assistant", "alpha beta"),  # prev is assistant: skip
+            ("c1", 3, "user", "x y"),
+            ("c1", 4, "assistant", "p q r s"),           # echo 0/4
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = assistant_echo_rate(t).collect()[0]
+    assert r["n_pairs"] == 2
+    assert r["mean_echo"] == pytest.approx(round((2 / 3 + 0.0) / 2, 6))
+    assert r["max_echo"] == pytest.approx(round(2 / 3, 6))

@@ -827,3 +827,56 @@ def textrank_turns(
         parts.getItem(1).cast("int").alias("turn_idx"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+def assistant_echo_rate(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assistant copy-rate: per conversation, how much of each assistant
+    turn's vocabulary is ECHOED from the immediately preceding user turn
+    — |tokens(assistant) ∩ tokens(prev user)| / |tokens(assistant)|,
+    averaged per conversation. High echo means the assistant is
+    parroting context instead of contributing (quote-heavy answers, "you
+    said X" loops) — trained on verbatim, it teaches parroting; the SFT
+    complement of :func:`assistant_loops` (self-repetition) and
+    :func:`turn_cohesion` (role-blind topical overlap).
+
+    Token sets stay in-row (array ops); one ``lag`` window over the conv
+    sort + one conv-keyed hash agg — single shuffle, no UDF.
+
+    Output: (conv_id, n_pairs, mean_echo, max_echo); pairs are assistant
+    turns whose previous turn is a user turn with a non-empty token set.
+    """
+    norm = _norm_text(text_col)
+    toks = F.array_distinct(F.filter(F.split(norm, " "), lambda w: w != ""))
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col))
+    pairs = (
+        transcripts.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            toks.alias("_toks"),
+        )
+        .withColumn("_prev_role", F.lag("role").over(w))
+        .withColumn("_prev_toks", F.lag("_toks").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & (F.col("_prev_role") == "user")
+            & (F.size("_toks") > 0)
+            & (F.size("_prev_toks") > 0)
+        )
+        .withColumn(
+            "_echo",
+            F.size(F.array_intersect("_toks", "_prev_toks"))
+            / F.size("_toks"),
+        )
+    )
+    return pairs.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("_echo"), 6).alias("mean_echo"),
+        F.round(F.max("_echo"), 6).alias("max_echo"),
+    )
