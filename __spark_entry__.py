@@ -3052,6 +3052,15 @@ def q_conv_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assistant_echo_rate(_role_transcripts(spark, sf_dir))
 
 
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram (operators/graph.py
+    degree_distribution) of the SimHash similarity graph — the skew
+    fingerprint behind the hub-cap/salting decisions."""
+    from waka_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_simhash_graph(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3243,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "graph_subgraph": q_graph_subgraph,
         "conv_echo": q_conv_echo,
+        "graph_degree_dist": q_graph_degree_dist,
     }
 
 
@@ -8155,6 +8165,29 @@ supp3 AS MATERIALIZED (
                    round(avg(echo), 6) AS mean_echo,
                    round(max(echo), 6) AS max_echo
             FROM e GROUP BY conv_id
+        """,
+        "graph_degree_dist": f"""
+            WITH {_SIMHASH_PAIRS_CTES},
+            canon AS (
+              SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM sh_pairs WHERE doc_a <> doc_b
+            ),
+            deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM canon
+                UNION ALL SELECT b AS node FROM canon
+              ) GROUP BY node
+            ),
+            binned AS (
+              SELECT CAST(floor(log2(degree)) AS INT) AS degree_bin
+              FROM deg
+            )
+            SELECT degree_bin,
+                   CAST(pow(CAST(2 AS DOUBLE), degree_bin) AS BIGINT)
+                     AS min_degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM binned GROUP BY degree_bin
         """,
     }
 

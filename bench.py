@@ -165,6 +165,7 @@ EXTRAS = [
     "text_readability",
     "graph_subgraph",
     "conv_echo",
+    "graph_degree_dist",
 ]
 
 

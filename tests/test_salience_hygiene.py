@@ -476,3 +476,15 @@ def test_assistant_echo_rate_role_pairing(spark):
     assert r["n_pairs"] == 2
     assert r["mean_echo"] == pytest.approx(round((2 / 3 + 0.0) / 2, 6))
     assert r["max_echo"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_degree_distribution_log2_bins(spark):
+    from waka_spark.operators.graph import degree_distribution, symmetrize
+
+    # star: hub h with 5 leaves -> h degree 5 (bin 2), leaves degree 1
+    # (bin 0)
+    und = [("h", f"l{i}") for i in range(5)]
+    edges = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    got = {r["degree_bin"]: r for r in degree_distribution(edges).collect()}
+    assert got[0]["n_nodes"] == 5 and got[0]["min_degree"] == 1
+    assert got[2]["n_nodes"] == 1 and got[2]["min_degree"] == 4

@@ -1029,3 +1029,48 @@ def extract_subgraph(
                         F.col("dist").alias("dst_dist")), "dst")
         .select("src", "dst", "src_dist", "dst_dist")
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Log2-binned degree histogram of the undirected graph — the
+    one-glance scale-freeness / skew fingerprint read before choosing
+    join strategies (a heavy tail says: salt, cap hubs, expect wedge
+    blow-ups; a flat head says: plain hash joins are fine). The
+    graph-shaped complement of diagnostics.key_skew_profile.
+
+    Two hash-aggs (per-node degree over the canonical edge set, then
+    per-bin counts) — nothing quadratic, no windows.
+
+    Output: (degree_bin, min_degree, n_nodes) where degree_bin =
+    floor(log2(degree)) and min_degree = 2^bin.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    binned = deg.withColumn(
+        "degree_bin", F.floor(F.log2("degree")).cast("int"))
+    return (
+        binned.groupBy("degree_bin")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(
+            "degree_bin",
+            F.pow(F.lit(2.0), F.col("degree_bin")).cast("long")
+            .alias("min_degree"),
+            "n_nodes",
+        )
+    )
