@@ -3061,6 +3061,36 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(_simhash_graph(spark, sf_dir))
 
 
+def q_kg_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-consistency screen (plans/incremental.py
+    functional_violations): a synthetic near-functional predicate
+    (born_in: obj determined by subj except every doc_id % 40 == 1
+    asserts an alternate) plus a non-functional one (likes); only the
+    functional predicate's violating subjects may appear."""
+    from waka_spark.plans.incremental import functional_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("s"), (F.col("doc_id") % 100).cast("string"))
+    born = docs.select(
+        subj.alias("subj_url"),
+        F.lit("born_in").alias("pred_url"),
+        F.when(
+            F.col("doc_id") % 40 == 1, F.lit("c_alt")
+        ).otherwise(
+            F.concat(F.lit("c"), ((F.col("doc_id") % 100) % 7)
+                     .cast("string"))
+        ).alias("obj_url"),
+    )
+    likes = docs.select(
+        subj.alias("subj_url"),
+        F.lit("likes").alias("pred_url"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 13).cast("string"))
+        .alias("obj_url"),
+    )
+    return functional_violations(
+        born.unionByName(likes), min_functionality=0.9)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3253,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_subgraph": q_graph_subgraph,
         "conv_echo": q_conv_echo,
         "graph_degree_dist": q_graph_degree_dist,
+        "kg_functional_violations": q_kg_functional_violations,
     }
 
 
@@ -8188,6 +8219,40 @@ supp3 AS MATERIALIZED (
                      AS min_degree,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM binned GROUP BY degree_bin
+        """,
+        "kg_functional_violations": """
+            WITH facts AS (
+              SELECT 's' || CAST(doc_id % 100 AS VARCHAR) AS subj_url,
+                     'born_in' AS pred_url,
+                     CASE WHEN doc_id % 40 = 1 THEN 'c_alt'
+                          ELSE 'c' || CAST((doc_id % 100) % 7 AS VARCHAR)
+                     END AS obj_url
+              FROM documents
+              UNION ALL
+              SELECT 's' || CAST(doc_id % 100 AS VARCHAR),
+                     'likes',
+                     'c' || CAST(doc_id % 13 AS VARCHAR)
+              FROM documents
+            ),
+            t AS (SELECT DISTINCT subj_url, pred_url, obj_url FROM facts),
+            bs AS (
+              SELECT pred_url, subj_url, count(*) AS fan
+              FROM t GROUP BY 1, 2
+            ),
+            prof AS (
+              SELECT pred_url,
+                     round(count(*) * 1.0 / sum(fan), 6) AS functionality
+              FROM bs GROUP BY pred_url
+              HAVING round(count(*) * 1.0 / sum(fan), 6) >= 0.9
+            ),
+            fans AS (
+              SELECT pred_url, subj_url,
+                     CAST(count(DISTINCT obj_url) AS BIGINT) AS n_objects
+              FROM t GROUP BY 1, 2
+            )
+            SELECT f.pred_url, f.subj_url, f.n_objects, p.functionality
+            FROM fans f JOIN prof p ON f.pred_url = p.pred_url
+            WHERE f.n_objects > 1
         """,
     }
 

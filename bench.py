@@ -166,6 +166,7 @@ EXTRAS = [
     "graph_subgraph",
     "conv_echo",
     "graph_degree_dist",
+    "kg_functional_violations",
 ]
 
 

@@ -488,3 +488,26 @@ def test_degree_distribution_log2_bins(spark):
     got = {r["degree_bin"]: r for r in degree_distribution(edges).collect()}
     assert got[0]["n_nodes"] == 5 and got[0]["min_degree"] == 1
     assert got[2]["n_nodes"] == 1 and got[2]["min_degree"] == 4
+
+
+def test_functional_violations_screens_by_functionality(spark):
+    from waka_spark.plans.incremental import functional_violations
+
+    rows = (
+        # born_in: functional except s1 (two objects)
+        [("s0", "born_in", "c0"), ("s1", "born_in", "c1"),
+         ("s1", "born_in", "c9"), ("s2", "born_in", "c2"),
+         ("s3", "born_in", "c3"), ("s4", "born_in", "c4"),
+         ("s5", "born_in", "c5"), ("s6", "born_in", "c6"),
+         ("s7", "born_in", "c7"), ("s8", "born_in", "c8")]
+        # likes: wildly multi-valued -> below threshold, never reported
+        + [("s0", "likes", f"c{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "subj_url string, pred_url string, obj_url string")
+    got = functional_violations(df, min_functionality=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["pred_url"], r["subj_url"], r["n_objects"]) == (
+        "born_in", "s1", 2)
+    # s0's 5 'likes' objects never surface: the predicate isn't functional

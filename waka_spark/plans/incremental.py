@@ -252,3 +252,34 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
         F.round(F.col("n_objects") / F.col("n_edges"), 6)
         .alias("inv_functionality"),
     )
+
+
+def functional_violations(
+    triples: DataFrame, min_functionality: float = 0.9
+) -> DataFrame:
+    """Ontology-consistency screen: for predicates that are
+    STATISTICALLY functional (PARIS functionality ≥ threshold — date of
+    birth, capital-of, born-in), list the subjects asserting MORE THAN
+    ONE object — each such key is an extraction bug, a failed entity
+    resolution, or a genuinely contested fact, and is exactly what a KG
+    curator triages first. The row-level drill-down of
+    :func:`predicate_profile` (which only says "this predicate drifted").
+
+    Scale shape: the profile (|preds| rows) broadcasts back onto one
+    (pred, subj) distinct-count agg over the deduped edge identities —
+    the same two-level aggregation the profile itself runs, no windows.
+
+    Output: (pred_url, subj_url, n_objects, functionality), subjects
+    violating a ≥-threshold predicate, n_objects > 1.
+    """
+    prof = predicate_profile(triples).filter(
+        F.col("functionality") >= min_functionality
+    ).select("pred_url", "functionality")
+    e = triples.select(*EDGE_KEY).distinct()
+    fans = e.groupBy("pred_url", "subj_url").agg(
+        F.countDistinct("obj_url").cast("long").alias("n_objects"))
+    return (
+        fans.join(F.broadcast(prof), "pred_url")
+        .filter(F.col("n_objects") > 1)
+        .select("pred_url", "subj_url", "n_objects", "functionality")
+    )
