@@ -3091,6 +3091,45 @@ def q_kg_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         born.unionByName(likes), min_functionality=0.9)
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-n_probe tuning curve (operators/ann.py ivf_topk at
+    n_probe 1 and 4 vs the exact brute-force top-5): the scanned-
+    fraction/recall trade-off number an IVF deployment picks n_probe
+    against — the partition-pruned complement of ann_lsh_recall's
+    bucket-geometry curve."""
+    from waka_spark.operators.ann import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = cosine_topk(emb, queries, k=5).select("q_id", "vec_id")
+    levels = None
+    for np_ in (1, 4):
+        a = ivf_topk(
+            emb, queries, n_cells=16, n_probe=np_, k=5
+        ).select("q_id", "vec_id", F.lit(np_).alias("n_probe"))
+        levels = a if levels is None else levels.unionByName(a)
+    tagged = exact.crossJoin(
+        spark.range(1).select(F.explode(F.array(
+            F.lit(1), F.lit(4))).alias("n_probe")))
+    hits = tagged.join(
+        levels.withColumn("_hit", F.lit(1)),
+        ["q_id", "vec_id", "n_probe"], "left")
+    return (
+        hits.groupBy("n_probe")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_probe", "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3284,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_echo": q_conv_echo,
         "graph_degree_dist": q_graph_degree_dist,
         "kg_functional_violations": q_kg_functional_violations,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -8253,6 +8293,85 @@ supp3 AS MATERIALIZED (
             SELECT f.pred_url, f.subj_url, f.n_objects, p.functionality
             FROM fans f JOIN prof p ON f.pred_url = p.pred_url
             WHERE f.n_objects > 1
+        """,
+        "ann_ivf_recall": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+            ),
+            sims AS MATERIALIZED (
+              SELECT e.vec_id, e.v, c.cell,
+                     round(list_dot_product(e.v, c.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                       AS sim
+              FROM e CROSS JOIN cents c
+            ),
+            corp AS MATERIALIZED (
+              SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ),
+            probes AS MATERIALIZED (
+              SELECT q_id, q_vec, cell, prn FROM (
+                SELECT vec_id AS q_id, v AS q_vec, cell,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY sim DESC, cell ASC) AS prn
+                FROM sims WHERE vec_id < 3
+              ) WHERE prn <= 4
+            ),
+            levels(n_probe) AS (VALUES (1), (4)),
+            cand AS (
+              SELECT l.n_probe, p.q_id, c.vec_id,
+                     round(list_dot_product(c.v, p.q_vec)
+                           / (sqrt(list_dot_product(c.v, c.v))
+                              * sqrt(list_dot_product(p.q_vec, p.q_vec))),
+                           6) AS cos
+              FROM levels l
+              JOIN probes p ON p.prn <= l.n_probe
+              JOIN corp c USING (cell)
+              WHERE c.vec_id <> p.q_id
+            ),
+            approx AS (
+              SELECT n_probe, q_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY n_probe, q_id
+                  ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM cand
+              ) WHERE rank <= 5
+            ),
+            escored AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     round(list_dot_product(e.v, q.v)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+              FROM e, e q
+              WHERE q.vec_id < 3 AND q.vec_id <> e.vec_id
+            ),
+            exact AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM escored
+              ) WHERE rank <= 5
+            )
+            SELECT l.n_probe,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+                   round(count(a.vec_id) / CAST(count(*) AS DOUBLE), 6)
+                     AS recall
+            FROM levels l
+            CROSS JOIN exact x
+            LEFT JOIN approx a
+              ON a.n_probe = l.n_probe AND a.q_id = x.q_id
+              AND a.vec_id = x.vec_id
+            GROUP BY l.n_probe
         """,
     }
 

@@ -167,6 +167,7 @@ EXTRAS = [
     "conv_echo",
     "graph_degree_dist",
     "kg_functional_violations",
+    "ann_ivf_recall",
 ]
 
 

@@ -511,3 +511,15 @@ def test_functional_violations_screens_by_functionality(spark):
     assert (r["pred_url"], r["subj_url"], r["n_objects"]) == (
         "born_in", "s1", 2)
     # s0's 5 'likes' objects never surface: the predicate isn't functional
+
+
+def test_ivf_recall_monotone_in_n_probe(spark):
+    import __spark_entry__ as entry
+
+    out = {r["n_probe"]: r for r in entry.q_ann_ivf_recall(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {1, 4}
+    # scanning more cells can only find more of the exact top-k
+    assert out[4]["n_hits"] >= out[1]["n_hits"]
+    assert 0.0 <= out[1]["recall"] <= out[4]["recall"] <= 1.0
+    assert out[4]["n_exact"] == out[1]["n_exact"]
