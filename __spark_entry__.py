@@ -3130,6 +3130,16 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive conversation summaries (operators/transcripts.py
+    extractive_summary): top-2 TextRank turns per conversation with
+    their texts — rank then extract."""
+    from waka_spark.operators.transcripts import extractive_summary
+
+    return extractive_summary(
+        _transcripts_view(_t(spark, sf_dir, "documents")), k=2, n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3324,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_dist": q_graph_degree_dist,
         "kg_functional_violations": q_kg_functional_violations,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "conv_summary": q_conv_summary,
     }
 
 
@@ -3791,11 +3802,13 @@ def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
         f"SELECT node AS doc_id, round(rank, 6) AS pagerank FROM r{n_iter}"
     )
 
-def _textrank_sql(n_iter: int = 2, damping: float = 0.85) -> str:
+def _textrank_ctes(n_iter: int = 2, damping: float = 0.85):
     """Weighted PageRank over the adjacent-turn Jaccard graph as chained
     CTEs — the SQL mirror of operators/transcripts.py:textrank_turns.
     Same DOUBLE discipline as _pagerank_sql; contribution sums are 2-term
-    (path graph), so double summation is order-independent."""
+    (path graph), so double summation is order-independent. Returns
+    (cte_string, final_rank_table) so conv_textrank and conv_summary
+    share one generator."""
     d = f"CAST({damping} AS DOUBLE)"
     base = f"(CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM g_n)"
     ctes = [
@@ -3843,12 +3856,47 @@ def _textrank_sql(n_iter: int = 2, damping: float = 0.85) -> str:
     GROUP BY e.dst
   ) s ON nd.node = s.node
 )""")
+    return ", ".join(ctes), f"r{n_iter}"
+
+
+def _textrank_sql(n_iter: int = 2, damping: float = 0.85) -> str:
+    ctes, final = _textrank_ctes(n_iter, damping)
     return (
-        f"WITH {', '.join(ctes)} "
+        f"WITH {ctes} "
         f"SELECT string_split(node, ':')[1] AS conv_id, "
         f"CAST(string_split(node, ':')[2] AS INT) AS turn_idx, "
-        f"round(rank, 6) AS rank FROM r{n_iter}"
+        f"round(rank, 6) AS rank FROM {final}"
     )
+
+
+def _summary_sql(k: int = 2, n_iter: int = 2,
+                 damping: float = 0.85) -> str:
+    """Top-k TextRank turns with texts — the SQL mirror of
+    operators/transcripts.py:extractive_summary, sharing
+    _textrank_ctes."""
+    ctes, final = _textrank_ctes(n_iter, damping)
+    return f"""WITH {ctes},
+ranks AS (
+  SELECT string_split(node, ':')[1] AS conv_id,
+         CAST(string_split(node, ':')[2] AS INT) AS turn_idx,
+         round(rank, 6) AS rank
+  FROM {final}
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY conv_id
+      ORDER BY rank DESC, turn_idx ASC) AS INT) AS summary_rank
+    FROM ranks
+  ) WHERE summary_rank <= {k}
+),
+texts AS (
+  SELECT {_CONV} AS conv_id, CAST({_TURN} AS INT) AS turn_idx, text
+  FROM documents
+)
+SELECT top.conv_id, summary_rank, top.turn_idx, rank, text
+FROM top JOIN texts
+  ON top.conv_id = texts.conv_id AND top.turn_idx = texts.turn_idx"""
 
 
 def _ppr_sql(n_iter: int = 5, damping: float = 0.85) -> str:
@@ -8373,6 +8421,7 @@ supp3 AS MATERIALIZED (
               AND a.vec_id = x.vec_id
             GROUP BY l.n_probe
         """,
+        "conv_summary": _summary_sql(k=2, n_iter=2, damping=0.85),
     }
 
 

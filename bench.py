@@ -168,6 +168,7 @@ EXTRAS = [
     "graph_degree_dist",
     "kg_functional_violations",
     "ann_ivf_recall",
+    "conv_summary",
 ]
 
 

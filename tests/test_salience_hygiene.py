@@ -523,3 +523,24 @@ def test_ivf_recall_monotone_in_n_probe(spark):
     assert out[4]["n_hits"] >= out[1]["n_hits"]
     assert 0.0 <= out[1]["recall"] <= out[4]["recall"] <= 1.0
     assert out[4]["n_exact"] == out[1]["n_exact"]
+
+
+def test_extractive_summary_picks_central_turn(spark):
+    from waka_spark.operators.transcripts import extractive_summary
+
+    # hub-shaped vocabulary: turn 1 shares words with both neighbors,
+    # turns 0/2 only with turn 1 -> turn 1 is the salience hub
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha beta"),
+            ("c1", 1, "beta gamma"),
+            ("c1", 2, "gamma delta"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r["summary_rank"]: r for r in extractive_summary(
+        t, k=2, n_iter=4).collect()}
+    assert got[1]["turn_idx"] == 1                 # the hub wins
+    assert got[1]["text"] == "beta gamma"
+    assert got[2]["turn_idx"] in (0, 2)
+    assert got[1]["rank"] > got[2]["rank"]

@@ -880,3 +880,43 @@ def assistant_echo_rate(
         F.round(F.avg("_echo"), 6).alias("mean_echo"),
         F.round(F.max("_echo"), 6).alias("max_echo"),
     )
+
+
+def extractive_summary(
+    transcripts: DataFrame,
+    k: int = 2,
+    n_iter: int = 2,
+    damping: float = 0.85,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation extractive summary: the top-``k`` turns by
+    :func:`textrank_turns` salience, with their texts — TextRank used
+    the way Mihalcea & Tarau intended (rank, then extract). The
+    compression pass that turns a 400-turn transcript into the handful
+    of turns worth a context window, an embedding, or a human skim.
+
+    One extra per-conv window (rank desc, turn asc — rounded-rank ties
+    resolve on position) over the textrank output plus one
+    (conv, turn) equi-join back to the texts; both keyed by conv, so
+    they reuse the conversation partitioning.
+
+    Output: (conv_id, summary_rank, turn_idx, rank, text).
+    """
+    ranks = textrank_turns(
+        transcripts, n_iter=n_iter, damping=damping,
+        conv_col=conv_col, turn_col=turn_col, text_col=text_col)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("rank").desc(), F.col("turn_idx").asc())
+    top = (
+        ranks.withColumn("summary_rank", F.row_number().over(w))
+        .filter(F.col("summary_rank") <= k)
+    )
+    texts = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(text_col).alias("text"),
+    )
+    return top.join(texts, ["conv_id", "turn_idx"]).select(
+        "conv_id", "summary_rank", "turn_idx", "rank", "text")
