@@ -3140,6 +3140,16 @@ def q_conv_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _transcripts_view(_t(spark, sf_dir, "documents")), k=2, n_iter=2)
 
 
+def q_curation_nll_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-gate outlier screen (operators/curation.py
+    nll_outlier_screen): docs above the corpus p95 mean unigram NLL —
+    the relative threshold form that survives corpus refreshes; one
+    single-row percentile broadcast back."""
+    from waka_spark.operators.curation import nll_outlier_screen
+
+    return nll_outlier_screen(_t(spark, sf_dir, "documents"), pct=0.95)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3335,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_violations": q_kg_functional_violations,
         "ann_ivf_recall": q_ann_ivf_recall,
         "conv_summary": q_conv_summary,
+        "curation_nll_outliers": q_curation_nll_outliers,
     }
 
 
@@ -8422,6 +8433,32 @@ supp3 AS MATERIALIZED (
             GROUP BY l.n_probe
         """,
         "conv_summary": _summary_sql(k=2, n_iter=2, damping=0.85),
+        "curation_nll_outliers": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            ),
+            w AS (SELECT * FROM words WHERE word <> ''),
+            model AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+            tot AS (SELECT sum(wc) AS total FROM model),
+            nll AS (
+              SELECT w.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(-ln(model.wc / CAST(tot.total AS DOUBLE))), 6)
+                       AS avg_nll
+              FROM w JOIN model USING (word) CROSS JOIN tot
+              GROUP BY w.doc_id
+            ),
+            thr AS (
+              SELECT round(quantile_cont(avg_nll, 0.95), 6) AS threshold
+              FROM nll
+            )
+            SELECT doc_id, n_tokens, avg_nll, threshold,
+                   CAST(avg_nll > threshold AS INT) AS is_outlier
+            FROM nll CROSS JOIN thr
+        """,
     }
 
 

@@ -169,6 +169,7 @@ EXTRAS = [
     "kg_functional_violations",
     "ann_ivf_recall",
     "conv_summary",
+    "curation_nll_outliers",
 ]
 
 

@@ -346,3 +346,21 @@ def test_filter_verdict_zero_word_doc_is_attributable(spark):
     for d in (1, 2):
         assert got[d]["bad_length"] == 1 and got[d]["keep"] == 0
     assert got[3]["bad_length"] == 0
+
+
+def test_nll_outlier_screen_relative_threshold(spark):
+    from waka_spark.operators.curation import nll_outlier_screen
+
+    # 19 docs of common vocabulary + 1 doc of unique (rare) words: the
+    # rare-word doc has the highest mean NLL and is the only outlier at
+    # p95
+    rows = [(i, "common words repeated here") for i in range(19)]
+    rows.append((99, "zzqx vvrm kkpl"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nll_outlier_screen(
+        df, pct=0.95).collect()}
+    assert len(got) == 20
+    assert got[99]["is_outlier"] == 1
+    assert sum(r["is_outlier"] for r in got.values()) == 1
+    assert got[0]["avg_nll"] < got[99]["avg_nll"]
+    assert all(r["threshold"] == got[0]["threshold"] for r in got.values())

@@ -887,3 +887,41 @@ def quality_expectations(
         ).alias("violation_rate"),
         (F.col("_r.n_violations") == 0).alias("passed"),
     )
+
+
+def nll_outlier_screen(
+    df: DataFrame,
+    pct: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-gate outlier screen: flag documents whose mean unigram
+    NLL (``textstats.unigram_logprob`` — the CCNet-style cheap
+    perplexity proxy) exceeds the corpus ``pct`` percentile. The
+    relative-threshold form a curation pass actually ships — an absolute
+    NLL cut drifts with every corpus refresh, "worst 5% of THIS corpus"
+    does not. High-NLL docs are the garbled/mojibake/off-vocabulary tail
+    an LM filter would reject anyway, caught at unigram cost.
+
+    Scale shape: the NLL pass's own two hash-aggs, then ONE single-row
+    exact-percentile aggregate broadcast back onto the per-doc frame —
+    the corpus never re-shuffles for the threshold. Exact ``percentile``
+    interpolates identically to DuckDB ``quantile_cont`` over the
+    round-6 NLL values, and the flag compares round-6 against round-6 —
+    engine-deterministic end to end.
+
+    Output: (doc_id, n_tokens, avg_nll, threshold, is_outlier).
+    """
+    from waka_spark.operators.textstats import unigram_logprob
+
+    nll = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    thr = nll.agg(
+        F.round(F.percentile("avg_nll", F.lit(pct)), 6).alias("threshold"))
+    return (
+        nll.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id", "n_tokens", "avg_nll", "threshold",
+            (F.col("avg_nll") > F.col("threshold")).cast("int")
+            .alias("is_outlier"),
+        )
+    )
