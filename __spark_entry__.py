@@ -3150,6 +3150,29 @@ def q_curation_nll_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nll_outlier_screen(_t(spark, sf_dir, "documents"), pct=0.95)
 
 
+def q_diag_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting advisor (operators/diagnostics.py
+    salt_recommendation): per-key salt factors capping rows/task at 200
+    over the Zipf-hot transcripts conv key — the number salted_join
+    consumes."""
+    from waka_spark.operators.diagnostics import salt_recommendation
+
+    t = _transcripts_view(_t(spark, sf_dir, "documents"))
+    return salt_recommendation(t, "conv_id", target_rows_per_task=4)
+
+
+def q_curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum decile assignment (operators/curation.py
+    curriculum_deciles) over the composite quality score — deterministic
+    ntile with id tiebreak."""
+    from waka_spark.operators.curation import curriculum_deciles
+    from waka_spark.operators.textstats import quality_scores
+
+    q = quality_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("quality_score").alias("quality"))
+    return curriculum_deciles(q, score_col="quality")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3346,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "conv_summary": q_conv_summary,
         "curation_nll_outliers": q_curation_nll_outliers,
+        "diag_salt_advisor": q_diag_salt_advisor,
+        "curation_curriculum": q_curation_curriculum,
     }
 
 
@@ -8458,6 +8483,61 @@ supp3 AS MATERIALIZED (
             SELECT doc_id, n_tokens, avg_nll, threshold,
                    CAST(avg_nll > threshold AS INT) AS is_outlier
             FROM nll CROSS JOIN thr
+        """,
+        "diag_salt_advisor": f"""
+            WITH t AS (
+              SELECT {_CONV} AS conv_id FROM documents
+            ),
+            counts AS (
+              SELECT conv_id AS key,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM t GROUP BY conv_id
+            ),
+            tot AS (SELECT sum(n_rows) AS total FROM counts)
+            SELECT key, n_rows,
+                   round(n_rows / CAST(tot.total AS DOUBLE), 6) AS share,
+                   CAST(ceil(n_rows / 4.0) AS BIGINT) AS salt_factor
+            FROM counts CROSS JOIN tot
+            WHERE ceil(n_rows / 4.0) > 1
+        """,
+        "curation_curriculum": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS INT) AS n_words,
+                     len(list_filter(ws, x -> list_contains(
+                       ['the', 'of', 'and', 'to', 'a', 'in', 'is', 'it',
+                        'you', 'that', 'he', 'was', 'for', 'on', 'are',
+                        'as', 'with', 'his', 'they', 'i', 'at', 'be',
+                        'this', 'have', 'from', 'or', 'one', 'had', 'by',
+                        'word', 'but', 'not', 'what', 'all', 'were', 'we',
+                        'when', 'your', 'can', 'said', 'there', 'use',
+                        'an', 'each', 'which', 'she', 'do', 'how',
+                        'their', 'if'], x)))
+                       / CAST(greatest(len(ws), 1) AS DOUBLE)
+                       AS stop_ratio,
+                     len(regexp_extract_all(text, '[^\w\s]'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS punct_ratio
+              FROM w
+            ),
+            q AS (
+              SELECT doc_id,
+                     round(least(n_words / 100.0, 1.0) * 0.4
+                           + least(stop_ratio * 5.0, 1.0) * 0.4
+                           + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2,
+                           6) AS score
+              FROM feat
+            )
+            SELECT doc_id, score,
+                   CAST(ntile(10) OVER (
+                     ORDER BY score ASC, doc_id ASC) AS INT) AS decile
+            FROM q
         """,
     }
 

@@ -170,6 +170,8 @@ EXTRAS = [
     "ann_ivf_recall",
     "conv_summary",
     "curation_nll_outliers",
+    "diag_salt_advisor",
+    "curation_curriculum",
 ]
 
 

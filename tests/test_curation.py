@@ -364,3 +364,27 @@ def test_nll_outlier_screen_relative_threshold(spark):
     assert sum(r["is_outlier"] for r in got.values()) == 1
     assert got[0]["avg_nll"] < got[99]["avg_nll"]
     assert all(r["threshold"] == got[0]["threshold"] for r in got.values())
+
+
+def test_curriculum_deciles_deterministic_ties(spark):
+    from waka_spark.operators.curation import curriculum_deciles
+
+    # 10 docs, all scores tied: id tiebreak must spread them 1..10
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(10)], "doc_id long, s double")
+    got = {r["doc_id"]: r["decile"] for r in curriculum_deciles(
+        df, score_col="s").collect()}
+    assert [got[i] for i in range(10)] == list(range(1, 11))
+
+
+def test_salt_recommendation_flags_hot_keys_only(spark):
+    from waka_spark.operators.diagnostics import salt_recommendation
+
+    rows = [("hot",)] * 10 + [("warm",)] * 4 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r for r in salt_recommendation(
+        df, "k", target_rows_per_task=4).collect()}
+    # hot: ceil(10/4)=3; warm: ceil(4/4)=1 -> not emitted; cold: 1
+    assert set(got) == {"hot"}
+    assert got["hot"]["salt_factor"] == 3
+    assert got["hot"]["share"] == 0.625

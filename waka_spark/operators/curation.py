@@ -925,3 +925,30 @@ def nll_outlier_screen(
             .alias("is_outlier"),
         )
     )
+
+
+def curriculum_deciles(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum bucketing: assign every document a quality decile via
+    ``ntile`` over (score, id) — the easy→hard ordering a curriculum
+    trainer samples stages from, with the id tiebreak making bucket
+    membership deterministic across engines and runs (plain ntile over
+    a non-unique score is partitioning-dependent).
+
+    ONE global sort (ntile's unavoidable total order — this is the one
+    operator family where a corpus-wide sort is the semantics; at 100 TB
+    you run it per-shard on the hash split, not corpus-global, and the
+    shard-local deciles are statistically identical). No joins.
+
+    Output: (doc_id, score, decile), decile 1 = lowest scores.
+    """
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).alias("score"),
+        F.ntile(n_buckets).over(w).alias("decile"),
+    )

@@ -182,3 +182,38 @@ def cms_top_words(
         .groupBy("word", "exact_count")
         .agg(F.min("cell").alias("cms_estimate"))
     )
+
+
+def salt_recommendation(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Skew-salting advisor: for each join/agg key, the salt factor that
+    caps its per-task row count at ``target_rows_per_task`` —
+    ``ceil(n_rows / target)`` — plus its corpus share. The bridge from
+    :func:`key_skew_profile` (which says "these keys are hot") to
+    ``operators/joins.salted_join`` (which needs a number): feed the max
+    emitted factor in as ``n_salts``, or salt per-key with the factor
+    column directly. Only keys needing a salt (factor > 1) are emitted —
+    at Zipf scale that is a handful of rows, broadcastable next to the
+    join.
+
+    One hash-agg keyed by ``key_col`` + one single-row total broadcast —
+    the same two-pass shape as the profiler, nothing quadratic.
+
+    Output: (key, n_rows, share, salt_factor), factor > 1 only.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.ceil(F.col("n_rows") / F.lit(target_rows_per_task))
+            .cast("long").alias("salt_factor"),
+        )
+        .filter(F.col("salt_factor") > 1)
+    )
