@@ -3173,6 +3173,15 @@ def q_curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_deciles(q, score_col="quality")
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py degree_assortativity) of
+    the SimHash similarity graph — integer-sum Pearson of endpoint
+    degrees, one hash-agg."""
+    from waka_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_simhash_graph(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3371,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_nll_outliers": q_curation_nll_outliers,
         "diag_salt_advisor": q_diag_salt_advisor,
         "curation_curriculum": q_curation_curriculum,
+        "graph_assortativity": q_graph_assortativity,
     }
 
 
@@ -8538,6 +8548,47 @@ supp3 AS MATERIALIZED (
                    CAST(ntile(10) OVER (
                      ORDER BY score ASC, doc_id ASC) AS INT) AS decile
             FROM q
+        """,
+        "graph_assortativity": f"""
+            WITH {_SIMHASH_PAIRS_CTES},
+            canon AS (
+              SELECT DISTINCT least(doc_a, doc_b) AS a,
+                     greatest(doc_a, doc_b) AS b
+              FROM sh_pairs WHERE doc_a <> doc_b
+            ),
+            deg AS (
+              SELECT node, count(*) AS d FROM (
+                SELECT a AS node FROM canon
+                UNION ALL SELECT b AS node FROM canon
+              ) GROUP BY node
+            ),
+            sym AS (
+              SELECT a, b FROM canon
+              UNION ALL SELECT b AS a, a AS b FROM canon
+            ),
+            p AS (
+              SELECT da.d AS dx, db.d AS dy
+              FROM sym
+              JOIN deg da ON sym.a = da.node
+              JOIN deg db ON sym.b = db.node
+            ),
+            sums AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy
+              FROM p
+            )
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                               AND n * syy - sy * sy > 0
+                         THEN (n * sxy - sx * sy)
+                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         END, 6) AS assortativity
+            FROM sums
         """,
     }
 

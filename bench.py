@@ -172,6 +172,7 @@ EXTRAS = [
     "curation_nll_outliers",
     "diag_salt_advisor",
     "curation_curriculum",
+    "graph_assortativity",
 ]
 
 

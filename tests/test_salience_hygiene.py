@@ -544,3 +544,19 @@ def test_extractive_summary_picks_central_turn(spark):
     assert got[1]["text"] == "beta gamma"
     assert got[2]["turn_idx"] in (0, 2)
     assert got[1]["rank"] > got[2]["rank"]
+
+
+def test_assortativity_star_is_negative(spark):
+    from waka_spark.operators.graph import degree_assortativity, symmetrize
+
+    # star graph: hub (deg 5) only links leaves (deg 1) -> strongly
+    # disassortative (r = -1 for a pure star)
+    und = [("h", f"l{i}") for i in range(5)]
+    star = symmetrize(spark.createDataFrame(und, "doc_a string, doc_b string"))
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["assortativity"] == pytest.approx(-1.0)
+    # regular graph (cycle): zero degree variance -> undefined, NULL
+    cyc = symmetrize(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "doc_a string, doc_b string"))
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None

@@ -1074,3 +1074,70 @@ def degree_distribution(
             "n_nodes",
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees across the symmetrized edge list —
+    one number separating hub-to-hub topologies (r > 0, social-graph
+    shape) from hub-to-leaf ones (r < 0, star/near-dup-clique shape),
+    read next to :func:`degree_distribution` before picking join and
+    sampling strategies.
+
+    Exactly computable: every Pearson term (n, Σx, Σy, Σxy, Σx², Σy²)
+    is an INTEGER sum over edge-endpoint degrees, so the whole statistic
+    reduces to one hash-agg of longs + closed-form float arithmetic at
+    the end — no order-dependent double summation anywhere. Two degree
+    joins (the deg table is node-sized) feed one global agg.
+
+    Output: one row (n_edges, assortativity), NULL when the variance of
+    either side is 0 (regular graphs — correlation undefined).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # symmetrized: each undirected edge contributes (da,db) and (db,da),
+    # the standard convention that makes Σx == Σy by construction
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pairs = (
+        sym.join(deg.withColumnsRenamed({"node": "a", "d": "dx"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "d": "dy"}), "b")
+    )
+    sums = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                num / (F.sqrt(varx.cast("double"))
+                       * F.sqrt(vary.cast("double"))),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
