@@ -3182,6 +3182,15 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_simhash_graph(spark, sf_dir))
 
 
+def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic segments (operators/transcripts.py topic_segments):
+    turn_cohesion boundaries folded into per-segment spans + mean
+    internal cohesion — TextTiling's emitted unit."""
+    from waka_spark.operators.transcripts import topic_segments
+
+    return topic_segments(_transcripts_view(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3381,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_salt_advisor": q_diag_salt_advisor,
         "curation_curriculum": q_curation_curriculum,
         "graph_assortativity": q_graph_assortativity,
+        "conv_segments": q_conv_segments,
     }
 
 
@@ -8589,6 +8599,52 @@ supp3 AS MATERIALIZED (
                                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                          END, 6) AS assortativity
             FROM sums
+        """,
+        "conv_segments": r"""
+            WITH t AS (
+              SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST((doc_id // 50) AS INT) AS turn_idx,
+                     text
+              FROM documents
+            ),
+            tk AS (
+              SELECT conv_id, turn_idx,
+                     list_distinct(list_filter(
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\s+', ' ', 'g'), ' '),
+                       x -> x != '')) AS toks
+              FROM t
+            ),
+            l AS (
+              SELECT conv_id, turn_idx, toks,
+                     lag(toks) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS prev
+              FROM tk
+            ),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN prev IS NOT NULL
+                           AND len(list_distinct(toks || prev)) > 0
+                          THEN round(len(list_intersect(toks, prev))
+                                     / len(list_distinct(toks || prev)), 6)
+                     END AS cohesion
+              FROM l
+            ),
+            seg AS (
+              SELECT conv_id, turn_idx, cohesion,
+                     CAST(sum(CASE WHEN coalesce(cohesion < 0.1, false)
+                                   THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS INT) AS segment_idx
+              FROM c
+            )
+            SELECT conv_id, segment_idx,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(min(turn_idx) AS INT) AS first_turn,
+                   CAST(max(turn_idx) AS INT) AS last_turn,
+                   round(avg(cohesion), 6) AS mean_cohesion
+            FROM seg GROUP BY conv_id, segment_idx
         """,
     }
 

@@ -173,6 +173,7 @@ EXTRAS = [
     "diag_salt_advisor",
     "curation_curriculum",
     "graph_assortativity",
+    "conv_segments",
 ]
 
 

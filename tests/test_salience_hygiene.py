@@ -560,3 +560,26 @@ def test_assortativity_star_is_negative(spark):
     cyc = symmetrize(spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "doc_a string, doc_b string"))
     assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_topic_segments_boundary_opens_segment(spark):
+    from waka_spark.operators.transcripts import topic_segments
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha beta gamma"),
+            ("c1", 1, "beta gamma delta"),   # cohesive with 0
+            ("c1", 2, "zz qq ww"),           # topic shift -> boundary
+            ("c1", 3, "qq ww ee"),           # cohesive with 2
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r["segment_idx"]: r for r in topic_segments(
+        t, boundary_threshold=0.1).collect()}
+    assert set(got) == {0, 1}
+    s0, s1 = got[0], got[1]
+    assert (s0["first_turn"], s0["last_turn"], s0["n_turns"]) == (0, 1, 2)
+    assert (s1["first_turn"], s1["last_turn"], s1["n_turns"]) == (2, 3, 2)
+    # segment means exclude the NULL first-turn cohesion / the boundary
+    # turn's own below-threshold value is INSIDE segment 1's mean
+    assert s0["mean_cohesion"] == pytest.approx(0.5)

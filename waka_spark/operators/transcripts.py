@@ -920,3 +920,44 @@ def extractive_summary(
     )
     return top.join(texts, ["conv_id", "turn_idx"]).select(
         "conv_id", "summary_rank", "turn_idx", "rank", "text")
+
+
+def topic_segments(
+    transcripts: DataFrame,
+    boundary_threshold: float = 0.1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling completed: fold :func:`turn_cohesion`'s boundary flags
+    into actual topic SEGMENTS — per (conversation, segment): turn span,
+    size, and mean internal cohesion. The unit the long-session splitter
+    actually emits (chunk a 400-turn session at its topic shifts, not at
+    arbitrary token offsets), and the per-segment cohesion is the
+    confidence score for each cut.
+
+    One extra running-sum window over the cohesion frame (same conv
+    partitioning — no new shuffle) + one (conv, segment) hash agg.
+    A boundary turn OPENS its segment (the running sum includes the
+    current row).
+
+    Output: (conv_id, segment_idx, n_turns, first_turn, last_turn,
+    mean_cohesion); mean_cohesion is NULL for single-turn segments
+    (no adjacent-turn similarity to average).
+    """
+    c = turn_cohesion(
+        transcripts, boundary_threshold=boundary_threshold,
+        conv_col=conv_col, turn_col=turn_col, text_col=text_col)
+    w = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = c.withColumn(
+        "segment_idx",
+        F.sum(F.col("is_boundary").cast("int")).over(w).cast("int"))
+    return seg.groupBy("conv_id", "segment_idx").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+        F.max("turn_idx").cast("int").alias("last_turn"),
+        F.round(F.avg("cohesion"), 6).alias("mean_cohesion"),
+    )
