@@ -3191,6 +3191,30 @@ def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_segments(_transcripts_view(_t(spark, sf_dir, "documents")))
 
 
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit (operators/textstats.py zipf_fit): ln-freq on
+    ln-rank regression over the vocabulary table — the corpus
+    naturalness one-number check."""
+    from waka_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), min_count=2)
+
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity (operators/graph.py reciprocity) over a
+    synthetic directed graph with deterministic mutual pairs
+    (src = doc_id %% 40, dst = (doc_id * 7 + 3) %% 40) — the
+    symmetric-predicate / mutual-engagement rate."""
+    from waka_spark.operators.graph import reciprocity
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    )
+    return reciprocity(g)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3391,6 +3415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_curriculum": q_curation_curriculum,
         "graph_assortativity": q_graph_assortativity,
         "conv_segments": q_conv_segments,
+        "text_zipf": q_text_zipf,
+        "graph_reciprocity": q_graph_reciprocity,
     }
 
 
@@ -8645,6 +8671,48 @@ supp3 AS MATERIALIZED (
                    CAST(max(turn_idx) AS INT) AS last_turn,
                    round(avg(cohesion), 6) AS mean_cohesion
             FROM seg GROUP BY conv_id, segment_idx
+        """,
+        "text_zipf": r"""
+            WITH words AS (
+              SELECT unnest(string_split(regexp_replace(
+                lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+              FROM documents
+            ),
+            freq AS (
+              SELECT word, count(*) AS freq FROM words
+              WHERE word <> '' GROUP BY word HAVING count(*) >= 2
+            ),
+            ranked AS (
+              SELECT freq,
+                     row_number() OVER (
+                       ORDER BY freq DESC, word ASC) AS rank
+              FROM freq
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_words_ranked,
+                   round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                    ln(CAST(rank AS DOUBLE))), 6)
+                     AS zipf_slope,
+                   round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                                 ln(CAST(rank AS DOUBLE))), 6) AS r2
+            FROM ranked
+        """,
+        "graph_reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT doc_id % 40 AS src,
+                     (doc_id * 7 + 3) % 40 AS dst
+              FROM documents
+              WHERE doc_id % 40 <> (doc_id * 7 + 3) % 40
+            ),
+            j AS (
+              SELECT e.src, e.dst,
+                     CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS rev
+              FROM e LEFT JOIN e r
+                ON e.src = r.dst AND e.dst = r.src
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(rev) AS BIGINT) AS n_reciprocal,
+                   round(sum(rev) * 1.0 / count(*), 6) AS reciprocity
+            FROM j
         """,
     }
 

@@ -174,6 +174,8 @@ EXTRAS = [
     "curation_curriculum",
     "graph_assortativity",
     "conv_segments",
+    "text_zipf",
+    "graph_reciprocity",
 ]
 
 

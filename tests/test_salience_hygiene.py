@@ -583,3 +583,30 @@ def test_topic_segments_boundary_opens_segment(spark):
     # segment means exclude the NULL first-turn cohesion / the boundary
     # turn's own below-threshold value is INSIDE segment 1's mean
     assert s0["mean_cohesion"] == pytest.approx(0.5)
+
+
+def test_zipf_fit_near_perfect_on_synthetic_zipf(spark):
+    from waka_spark.operators.textstats import zipf_fit
+
+    # build text whose word frequencies follow freq(r) = 60 // r exactly
+    words = []
+    for r in range(1, 13):
+        words += [f"w{r:02d}"] * (60 // r)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = zipf_fit(df, min_count=2).collect()[0]
+    assert out["n_words_ranked"] == 12
+    # ln(60//r) vs ln r: slope near -1, strong fit
+    assert -1.15 < out["zipf_slope"] < -0.85
+    assert out["r2"] > 0.97
+
+
+def test_reciprocity_counts_mutual_pairs(spark):
+    from waka_spark.operators.graph import reciprocity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    r = reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (5, 4)
+    assert r["reciprocity"] == 0.8

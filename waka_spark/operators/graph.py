@@ -1141,3 +1141,44 @@ def degree_assortativity(
             6,
         ).alias("assortativity"),
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of edges whose reverse
+    edge also exists. On a KG edges table this is the symmetric-predicate
+    detector (a 'spouse'-like predicate reciprocates ~1.0, a
+    'born_in'-like one ~0) and on an interaction graph the
+    mutual-engagement rate — read before deciding whether symmetrizing
+    for the similarity passes loses information.
+
+    One distinct projection + one LEFT SEMI self-join on the swapped key
+    + two counts folded into a single aggregate pass (count + conditional
+    sum over the semi-join hit flag realized as a left join's null test).
+
+    Output: one row (n_edges, n_reciprocal, reciprocity).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("_rev"))
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.coalesce("_rev", F.lit(0))).cast("long")
+            .alias("n_reciprocal"),
+        )
+        .select(
+            "n_edges", "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges"), 6)
+            .alias("reciprocity"),
+        )
+    )

@@ -7,7 +7,7 @@ DuckDB-oracle-expressible form so the driver's correctness gate covers it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # compact English stopword core — enough signal for n-gram-heuristic
@@ -774,4 +774,43 @@ def readability_scores(
         F.round(
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
         ).alias("flesch"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf-law fit of the corpus rank-frequency curve: the slope of
+    ln(frequency) on ln(rank) over the word vocabulary (natural text
+    ≈ −1; a flat slope says synthetic/templated text, a cliff says
+    boilerplate domination — the single-number sanity check on corpus
+    naturalness next to :func:`vocab_novelty`'s time axis).
+
+    One explode → word hash-agg, then rank + regression over the
+    VOCABULARY-sized table only (the global rank window sorts |V| rows,
+    never the corpus; ``min_count`` trims the hapax tail that a finite
+    corpus always bends). Built-in ``regr_slope``/``regr_r2`` — the
+    same aggregate DuckDB ships, so the oracle replays it.
+
+    Output: one row (n_words_ranked, zipf_slope, r2), round-6.
+    """
+    words = (
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    ranked = words.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("word").asc())),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_words_ranked"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
