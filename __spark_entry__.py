@@ -3215,6 +3215,16 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(g)
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/textstats.py collocations): top-50
+    adjacent word pairs by PMI with min support 5 — multi-word-term
+    discovery for tokenizer merges and gazetteer candidates."""
+    from waka_spark.operators.textstats import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3417,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_segments": q_conv_segments,
         "text_zipf": q_text_zipf,
         "graph_reciprocity": q_graph_reciprocity,
+        "text_collocations": q_text_collocations,
     }
 
 
@@ -8713,6 +8724,45 @@ supp3 AS MATERIALIZED (
                    CAST(sum(rev) AS BIGINT) AS n_reciprocal,
                    round(sum(rev) * 1.0 / count(*), 6) AS reciprocity
             FROM j
+        """,
+        "text_collocations": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(
+                       lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            bg AS (
+              SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM d, LATERAL unnest(
+                generate_series(1, len(ws) - 1)) AS t(i)
+            ),
+            pc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+              FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            uni AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(ws) AS word FROM d
+              ) GROUP BY word
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM uni),
+            scored AS (
+              SELECT pc.w1 AS word_1, pc.w2 AS word_2, n_pair,
+                     round(ln(n_pair * tot.nn / (u1.n * u2.n)), 6) AS pmi
+              FROM pc
+              JOIN uni u1 ON pc.w1 = u1.word
+              JOIN uni u2 ON pc.w2 = u2.word
+              CROSS JOIN tot
+            )
+            SELECT word_1, word_2, n_pair, pmi,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY pmi DESC, word_1 ASC, word_2 ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 50
         """,
     }
 

@@ -176,6 +176,7 @@ EXTRAS = [
     "conv_segments",
     "text_zipf",
     "graph_reciprocity",
+    "text_collocations",
 ]
 
 

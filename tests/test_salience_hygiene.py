@@ -610,3 +610,22 @@ def test_reciprocity_counts_mutual_pairs(spark):
     r = reciprocity(e).collect()[0]
     assert (r["n_edges"], r["n_reciprocal"]) == (5, 4)
     assert r["reciprocity"] == 0.8
+
+
+def test_collocations_pmi_ranks_exclusive_pair_first(spark):
+    import math
+
+    from waka_spark.operators.textstats import collocations
+
+    # "new york" always adjacent and exclusive; "the cat"/"the dog" share
+    # the promiscuous "the" -> lower PMI
+    text = " ".join(["new york"] * 5 + ["the cat"] * 5 + ["the dog"] * 5)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = collocations(df, min_count=5, top_k=10).collect()
+    by_pair = {(r["word_1"], r["word_2"]): r for r in got}
+    ny = by_pair[("new", "york")]
+    assert ny["rank"] == 1
+    n_tokens = 30
+    assert ny["pmi"] == pytest.approx(
+        round(math.log(5 * n_tokens / (5 * 5)), 6))
+    assert by_pair[("the", "cat")]["pmi"] < ny["pmi"]

@@ -814,3 +814,71 @@ def zipf_fit(
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by pointwise
+    mutual information — pmi = ln(c₁₂·N / (c₁·c₂)) over corpus bigram /
+    unigram counts (Church & Hanks 1990). The multi-word-term discovery
+    pass (named entities, domain phrases) that feeds tokenizer merges
+    and gazetteer candidates; ``min_count`` removes the
+    low-count-high-PMI noise the raw statistic is notorious for.
+
+    Scale shape: bigrams built narrowly IN-ROW (transform over the word
+    array, no self-join), ONE explode feeding the bigram hash-agg; the
+    unigram marginals reuse the same word explode; two broadcast-sized
+    joins on the word keys against the (already aggregated) vocabulary;
+    global top-k via TakeOrderedAndProject — never a full sort. N is a
+    single-row broadcast.
+
+    Output: (word_1, word_2, n_pair, pmi, rank), top_k by (pmi desc,
+    pair asc), pmi round-6.
+    """
+    words_arr = _words(F.col(text_col))
+    toks = F.filter(words_arr, lambda w: w != "")
+    bigrams = df.select(
+        F.explode(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).filter(
+        F.col("w2").isNotNull())
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair"))
+    uni = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_word"))
+    )
+    total = uni.agg(F.sum("n_word").cast("double").alias("_n"))
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(uni.withColumnsRenamed({"word": "w1", "n_word": "c1"}), "w1")
+        .join(uni.withColumnsRenamed({"word": "w2", "n_word": "c2"}), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("w1").alias("word_1"), F.col("w2").alias("word_2"),
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair") * F.col("_n")
+                    / (F.col("c1") * F.col("c2"))
+                ), 6
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("pmi").desc(), F.col("word_1").asc(), F.col("word_2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
