@@ -3225,6 +3225,30 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), min_count=5, top_k=50)
 
 
+def q_conv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shaped funnel (operators/temporal.py funnel reused over
+    the input_hint schema): per conversation, user instruction →
+    assistant reply → tool call in strict ts order — operator reuse
+    across the events and transcripts payloads is the point."""
+    from waka_spark.operators.temporal import funnel
+
+    t = _tool_transcripts(spark, sf_dir)
+    return funnel(
+        t, ["user", "assistant", "tool"],
+        key="conv_id", ts_col="ts", type_col="role")
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve (operators/dedup.py
+    jaccard_threshold_curve): pair / affected-doc counts at Jaccard
+    0.5 / 0.7 / 0.9 — one candidate-pair pass, per-cut aggs on the pair
+    set only."""
+    from waka_spark.operators.dedup import jaccard_threshold_curve
+
+    return jaccard_threshold_curve(
+        _t(spark, sf_dir, "documents"), thresholds=(0.5, 0.7, 0.9))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3428,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf": q_text_zipf,
         "graph_reciprocity": q_graph_reciprocity,
         "text_collocations": q_text_collocations,
+        "conv_funnel": q_conv_funnel,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
     }
 
 
@@ -8763,6 +8789,84 @@ supp3 AS MATERIALIZED (
                 ORDER BY pmi DESC, word_1 ASC, word_2 ASC) AS rank
               FROM scored
             ) WHERE rank <= 50
+        """,
+        "conv_funnel": f"""
+            WITH t AS ({_TOOLTR}),
+            s1 AS (
+              SELECT conv_id, min(ts_s) AS t FROM t
+              WHERE role = 'user' GROUP BY conv_id
+            ),
+            s2 AS (
+              SELECT e.conv_id, min(e.ts_s) AS t
+              FROM t e JOIN s1 ON e.conv_id = s1.conv_id
+              WHERE e.role = 'assistant' AND e.ts_s > s1.t
+              GROUP BY e.conv_id
+            ),
+            s3 AS (
+              SELECT e.conv_id, min(e.ts_s) AS t
+              FROM t e JOIN s2 ON e.conv_id = s2.conv_id
+              WHERE e.role = 'tool' AND e.ts_s > s2.t
+              GROUP BY e.conv_id
+            )
+            SELECT CAST(1 AS INT) AS stage, 'user' AS step,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INT), 'assistant', CAST(count(*) AS BIGINT)
+            FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INT), 'tool', CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "dedup_threshold_curve": r"""
+            WITH w AS (
+              SELECT doc_id, string_split(regexp_replace(
+                lower(trim(text)), '\s+', ' ', 'g'), ' ') ws
+              FROM documents
+            ),
+            s AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+2], ' ') AS shingle
+              FROM w, (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE i <= greatest(len(ws) - 2, 1)
+                AND array_to_string(ws[i:i+2], ' ') <> ''
+            ),
+            sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) AS n_common
+              FROM s a JOIN s b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS MATERIALIZED (
+              SELECT doc_a, doc_b,
+                     round(n_common
+                           / CAST(x.n + y.n - n_common AS DOUBLE), 6)
+                       AS jaccard
+              FROM inter
+              JOIN sz x ON x.doc_id = doc_a
+              JOIN sz y ON y.doc_id = doc_b
+              WHERE n_common / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5
+            ),
+            th(threshold) AS (VALUES (0.5), (0.7), (0.9)),
+            tagged AS MATERIALIZED (
+              SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+                     doc_a, doc_b
+              FROM pairs JOIN th
+                ON pairs.jaccard >= CAST(th.threshold AS DOUBLE)
+            ),
+            np AS (
+              SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM tagged GROUP BY threshold
+            ),
+            nd AS (
+              SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs FROM (
+                SELECT DISTINCT threshold, doc FROM (
+                  SELECT threshold, doc_a AS doc FROM tagged
+                  UNION ALL SELECT threshold, doc_b FROM tagged
+                )
+              ) GROUP BY threshold
+            )
+            SELECT np.threshold, n_pairs, n_docs
+            FROM np JOIN nd ON np.threshold = nd.threshold
         """,
     }
 

@@ -177,6 +177,8 @@ EXTRAS = [
     "text_zipf",
     "graph_reciprocity",
     "text_collocations",
+    "conv_funnel",
+    "dedup_threshold_curve",
 ]
 
 

@@ -629,3 +629,25 @@ def test_collocations_pmi_ranks_exclusive_pair_first(spark):
     assert ny["pmi"] == pytest.approx(
         round(math.log(5 * n_tokens / (5 * 5)), 6))
     assert by_pair[("the", "cat")]["pmi"] < ny["pmi"]
+
+
+def test_jaccard_threshold_curve_monotone(spark):
+    from waka_spark.operators.dedup import jaccard_threshold_curve
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                               # exact dup: j = 1.0
+            (3, base + " extra words here appended"),  # partial overlap
+            (4, "totally different text about nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["threshold"]: r for r in jaccard_threshold_curve(
+        df, thresholds=(0.5, 0.9)).collect()}
+    # counts can only shrink as the cut tightens
+    assert got[0.5]["n_pairs"] >= got[0.9]["n_pairs"] >= 1
+    assert got[0.5]["n_docs"] >= got[0.9]["n_docs"]
+    # the exact-dup pair survives the tightest cut
+    assert got[0.9]["n_pairs"] >= 1

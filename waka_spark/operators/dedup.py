@@ -676,3 +676,46 @@ def delta_dedup(
             F.coalesce("_near", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    thresholds: tuple = (0.5, 0.7, 0.9),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup threshold tuning curve: pair and affected-document
+    counts at each candidate Jaccard cut — the number a dedup deployment
+    picks its θ against (too low eats distinct documents, too high
+    leaves templated near-dups in; this table shows the elbow). Same
+    spirit as the ANN recall curves: measure the knob, don't guess it.
+
+    The pair table is computed ONCE at the loosest threshold (the same
+    shingle-equi-join candidate generation as
+    :func:`ngram_jaccard_pairs`), then fanned out ×|thresholds| by an
+    in-row literal explode — per-θ work is two hash-aggs over the
+    (already tiny) pair set, never a re-scan of the corpus.
+
+    Output: (threshold, n_pairs, n_docs) per threshold.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, threshold=min(thresholds), id_col=id_col, text_col=text_col,
+        n=n,
+    ).select("doc_a", "doc_b", "jaccard")
+    tagged = pairs.select(
+        "doc_a", "doc_b", "jaccard",
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+        .alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    n_pairs = tagged.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs"))
+    n_docs = (
+        tagged.select(
+            "threshold",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold")
