@@ -3249,6 +3249,25 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), thresholds=(0.5, 0.7, 0.9))
 
 
+def q_multimodal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality inventory (operators/multimodal.py modality_mix): asset
+    counts / byte totals / byte share per modality over a deterministic
+    image-audio-video split (doc_id %% 3) of the binary-payload view."""
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        modality_mix,
+    )
+
+    assets = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    assets = assets.withColumn(
+        "modality",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("asset_id") % 3 + 1).cast("int")),
+    )
+    return modality_mix(assets)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3454,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "conv_funnel": q_conv_funnel,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "multimodal_mix": q_multimodal_mix,
     }
 
 
@@ -8867,6 +8887,27 @@ supp3 AS MATERIALIZED (
             )
             SELECT np.threshold, n_pairs, n_docs
             FROM np JOIN nd ON np.threshold = nd.threshold
+        """,
+        "multimodal_mix": """
+            WITH a AS (
+              SELECT doc_id AS asset_id,
+                     (['image', 'audio', 'video'])[(doc_id % 3) + 1]
+                       AS modality,
+                     octet_length(CAST(text AS BLOB)) AS n_bytes
+              FROM documents
+            ),
+            per AS (
+              SELECT modality,
+                     CAST(count(*) AS BIGINT) AS n_assets,
+                     CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+              FROM a GROUP BY modality
+            ),
+            tot AS (SELECT CAST(sum(total_bytes) AS DOUBLE) AS t FROM per)
+            SELECT modality, n_assets, total_bytes,
+                   round(total_bytes / CAST(n_assets AS DOUBLE), 6)
+                     AS mean_bytes,
+                   round(total_bytes / tot.t, 6) AS byte_share
+            FROM per CROSS JOIN tot
         """,
     }
 

@@ -179,6 +179,7 @@ EXTRAS = [
     "text_collocations",
     "conv_funnel",
     "dedup_threshold_curve",
+    "multimodal_mix",
 ]
 
 

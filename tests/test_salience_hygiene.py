@@ -651,3 +651,21 @@ def test_jaccard_threshold_curve_monotone(spark):
     assert got[0.5]["n_docs"] >= got[0.9]["n_docs"]
     # the exact-dup pair survives the tightest cut
     assert got[0.9]["n_pairs"] >= 1
+
+
+def test_modality_mix_byte_shares_sum_to_one(spark):
+    from waka_spark.operators.multimodal import (
+        attach_binary_payload,
+        modality_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bb"), (3, "cccccc")], "doc_id long, text string")
+    assets = attach_binary_payload(docs).withColumn(
+        "modality",
+        F.when(F.col("asset_id") == 1, "image").otherwise("audio"))
+    got = {r["modality"]: r for r in modality_mix(assets).collect()}
+    assert got["image"]["total_bytes"] == 4
+    assert got["audio"]["total_bytes"] == 8
+    assert got["audio"]["mean_bytes"] == 4.0
+    assert sum(r["byte_share"] for r in got.values()) == pytest.approx(1.0)

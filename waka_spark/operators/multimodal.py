@@ -183,3 +183,29 @@ def binary_chunk_dedup(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def modality_mix(
+    assets: DataFrame,
+    modality_col: str = "modality",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Corpus modality inventory: per modality, asset counts, byte
+    totals, and share of corpus bytes — the first table a multimodal
+    training-mix discussion puts on screen (and the capacity-planning
+    input: bytes, not asset counts, drive decode cost). One hash-agg on
+    the modality key + a single-row total broadcast back.
+
+    Output: (modality, n_assets, total_bytes, mean_bytes, byte_share).
+    """
+    per = assets.groupBy(F.col(modality_col).alias("modality")).agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum(F.col(meta_col)["n_bytes"]).cast("long").alias("total_bytes"),
+    )
+    tot = per.agg(F.sum("total_bytes").cast("double").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "modality", "n_assets", "total_bytes",
+        F.round(F.col("total_bytes") / F.col("n_assets"), 6)
+        .alias("mean_bytes"),
+        F.round(F.col("total_bytes") / F.col("_t"), 6).alias("byte_share"),
+    )
