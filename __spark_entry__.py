@@ -3268,6 +3268,34 @@ def q_multimodal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modality_mix(assets)
 
 
+def q_kg_prepare_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG materialization flagship in ONE lineage: e2e extracted triples
+    → union-find canonicalization over the subj—obj co-assertion graph
+    (plans/unionfind.py) → canonical edge rollup with conversation
+    support — extract, resolve, materialize, the north rule's three KG
+    verbs composed."""
+    from waka_spark.plans.unionfind import connected_components
+
+    triples = q_kg_e2e_triples(spark, sf_dir)
+    g = triples.select(
+        F.col("subj_url").alias("src"), F.col("obj_url").alias("dst"))
+    comps = connected_components(g)
+    cs = comps.select(
+        F.col("node").alias("subj_url"),
+        F.col("component").alias("subj_comp"))
+    co = comps.select(
+        F.col("node").alias("obj_url"),
+        F.col("component").alias("obj_comp"))
+    return (
+        triples.join(cs, "subj_url").join(co, "obj_url")
+        .groupBy("subj_comp", "pred_url", "obj_comp")
+        .agg(
+            F.countDistinct("conv_id").alias("support"),
+            F.count("*").cast("long").alias("n_assertions"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3474,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_funnel": q_conv_funnel,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "multimodal_mix": q_multimodal_mix,
+        "kg_prepare_graph": q_kg_prepare_graph,
     }
 
 
@@ -8908,6 +8937,36 @@ supp3 AS MATERIALIZED (
                      AS mean_bytes,
                    round(total_bytes / tot.t, 6) AS byte_share
             FROM per CROSS JOIN tot
+        """,
+        "kg_prepare_graph": f"""
+            WITH RECURSIVE {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url,
+                     ou AS obj_url
+              FROM conv JOIN rules
+                ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            g AS (
+              SELECT subj_url AS a, obj_url AS b FROM triples
+            ),
+            sym AS (SELECT a, b FROM g UNION SELECT b, a FROM g),
+            reach(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+            ),
+            comp AS (
+              SELECT node, min(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT cs.component AS subj_comp, t.pred_url,
+                   co.component AS obj_comp,
+                   CAST(count(DISTINCT t.conv_id) AS BIGINT) AS support,
+                   CAST(count(*) AS BIGINT) AS n_assertions
+            FROM triples t
+            JOIN comp cs ON t.subj_url = cs.node
+            JOIN comp co ON t.obj_url = co.node
+            GROUP BY 1, 2, 3
         """,
     }
 

@@ -180,6 +180,7 @@ EXTRAS = [
     "conv_funnel",
     "dedup_threshold_curve",
     "multimodal_mix",
+    "kg_prepare_graph",
 ]
 
 

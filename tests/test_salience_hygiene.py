@@ -669,3 +669,16 @@ def test_modality_mix_byte_shares_sum_to_one(spark):
     assert got["audio"]["total_bytes"] == 8
     assert got["audio"]["mean_bytes"] == 4.0
     assert sum(r["byte_share"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_kg_prepare_graph_canonicalizes_endpoints(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_kg_prepare_graph(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    comps = {r["subj_comp"] for r in out} | {r["obj_comp"] for r in out}
+    # canonical ids are component minima -> must be actual entity urls
+    assert all(c.startswith("http://example.org/Q_") for c in comps)
+    # support is conversation-distinct and positive
+    assert all(r["support"] >= 1 and r["n_assertions"] >= r["support"]
+               for r in out)
