@@ -7801,18 +7801,22 @@ def oracle_sql() -> dict[str, str]:
                    (value IS NOT NULL) AS observed
             FROM grid LEFT JOIN daily USING (key, day)
         """,
-        "kg_entity_salience": f"""
+        "kg_entity_salience": rf"""
             WITH t AS (
               SELECT {_CONV} AS conv_id, CAST({_TURN} AS INT) AS turn_idx,
                      text
               FROM documents
             ),
             gaz(surface, url, frequency) AS (VALUES {_ALIAS_VALUES}),
+            tok AS (
+              SELECT conv_id, turn_idx,
+                     regexp_replace(lower(trim(u.w)),
+                       '^[^\w]+|[^\w]+$', '', 'g') AS wk
+              FROM t, unnest(string_split(text, ' ')) AS u(w)
+            ),
             m AS (
-              SELECT conv_id, turn_idx, url,
-                     CAST(len(list_filter(string_split(text, ' '),
-                       x -> x = surface)) AS BIGINT) AS n
-              FROM t, gaz
+              SELECT conv_id, turn_idx, url
+              FROM tok JOIN gaz ON tok.wk = gaz.surface
             ),
             spans AS (
               SELECT conv_id, CAST(max(turn_idx) AS BIGINT) AS max_t
@@ -7820,10 +7824,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             per AS (
               SELECT conv_id, url,
-                     CAST(sum(n) AS BIGINT) AS n_mentions,
+                     CAST(count(*) AS BIGINT) AS n_mentions,
                      CAST(min(turn_idx) AS INT) AS first_turn,
                      CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns
-              FROM m WHERE n > 0
+              FROM m
               GROUP BY conv_id, url
             )
             SELECT per.conv_id, url, n_mentions, first_turn, n_turns,

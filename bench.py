@@ -295,7 +295,30 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - never break the bench
             payload["sf1_error"] = repr(e)[:200]
 
-    print(json.dumps(payload))
+    # Two-line output (round-3 fix): the full payload (196-query maps) is a
+    # single oversized JSON line that the driver's tail capture truncated in
+    # r02 ("parsed": null). Print the detail record FIRST, then a compact
+    # headline record (<1 KB) as the FINAL line — the driver parses the last
+    # line; humans/regression tooling read the detail line above it.
+    print(json.dumps({"record": "detail", **payload}))
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": timings,  # headline subset only (17 entries)
+        "sf": payload["sf"],
+        "cpus": payload["cpus"],
+        "kg_e2e_turns_per_sec": payload["kg_e2e_turns_per_sec"],
+        "kg_e2e_input_turns": payload["kg_e2e_input_turns"],
+        "extras_total_sec": round(sum(extra_timings.values()), 3),
+        "n_extra_queries": len(extra_timings),
+    }
+    if "sf1_kg_e2e_turns_per_sec" in payload:
+        compact["sf1_kg_e2e_turns_per_sec"] = payload[
+            "sf1_kg_e2e_turns_per_sec"]
+        compact["sf1_input_turns"] = payload["sf1_input_turns"]
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -164,3 +164,20 @@ def test_salted_join_keys_include_salt(spark):
     plan = plan_of(skew_salted_join(big, small, "k"))
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mention_salience_equi_join_no_alias_fanout(spark):
+    """mention_salience (round-3 rewrite): the alias dictionary must be a
+    broadcast EQUI-join against exploded tokens — O(corpus tokens) work —
+    never a crossJoin/nested-loop fan-out of turns x aliases (which
+    multiplies the corpus scan by dictionary size at real Wikidata
+    scale)."""
+    from waka_spark import schemas
+    from waka_spark.operators.linking import mention_salience
+
+    turns = entry._transcripts_view(entry._t(spark, SF, "documents"))
+    aliases = spark.createDataFrame(entry.ALIASES, schemas.WD_ALIASES)
+    plan = plan_of(mention_salience(turns, aliases))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

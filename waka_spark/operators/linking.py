@@ -149,32 +149,48 @@ def mention_salience(
     i.e. mention mass linearly discounted by how late the entity first
     appears (1.0 for turn 0, →1/(max_turn+1) for the final turn).
 
-    Scale shape: the alias dictionary is broadcast (same dictionary-join
-    shape as :func:`link_entities`); per-turn match counts are computed
-    narrowly in-row (word-split + filter — no explode, no UDF), then ONE
-    hash agg on (conv, url) and a per-conv span agg joined back. The turns
-    table is scanned twice (matches + spans) but shuffled only at the two
-    aggs, both keyed by conv — co-partitioned under AQE.
+    Scale shape (round-3 rewrite): tokens are EXPLODED and equi-joined
+    against the broadcast alias dictionary on the normalized key — a
+    BroadcastHashJoin whose work is O(corpus tokens), independent of
+    dictionary size. The previous shape (``turns.crossJoin(broadcast(
+    aliases))`` + in-row filter) multiplied every turn by every alias row:
+    with a realistic Wikidata alias table (10^6–10^7 rows) that is
+    |turns|·|aliases| column-op work — a BroadcastNestedLoop-shaped scan
+    multiplier. The explode is narrow (no shuffle); the only shuffles are
+    the two conv-keyed hash aggs, same as before.
+
+    Tokens are normalized exactly like the linking stack's dictionary
+    keys (``norm_key``: lowercase/trim/collapse) after stripping
+    leading/trailing punctuation, so ``'Spark,'`` matches alias
+    ``spark`` — consistent with :func:`link_entities`
+    (entity_linking.py:95-102 sends the analogous analyzed text to ES).
+    Single-token aliases only: multi-word aliases are the candidate
+    linker's job (this is the cheap corpus-scale ranking layer); callers
+    with multi-word dictionaries should pre-split to head words or run
+    the gazetteer NER path.
 
     Output: (conv_id, url, n_mentions, first_turn, n_turns, salience).
     """
-    words = F.split(F.col(text_col), " ")
-    matches = (
-        turns.crossJoin(F.broadcast(aliases.select("alias_key", "url")))
-        .select(
+    tok_key = norm_key(
+        F.regexp_replace(F.col("_w"), r"^[^\w]+|[^\w]+$", ""))
+    toks = (
+        turns.select(
             F.col(conv_col).alias("conv_id"),
             F.col(turn_col).alias("turn_idx"),
-            "url",
-            F.size(
-                F.filter(words, lambda x: x == F.col("alias_key"))
-            ).cast("long").alias("_n"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
         )
-        .filter(F.col("_n") > 0)
+        .select("conv_id", "turn_idx", tok_key.alias("_wk"))
+        .filter(F.col("_wk") != "")
+    )
+    matches = toks.join(
+        F.broadcast(
+            aliases.select(F.col("alias_key").alias("_wk"), "url")),
+        "_wk",
     )
     spans = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
         F.max(turn_col).cast("long").alias("_max_t"))
     per = matches.groupBy("conv_id", "url").agg(
-        F.sum("_n").alias("n_mentions"),
+        F.count("*").cast("long").alias("n_mentions"),
         F.min("turn_idx").cast("int").alias("first_turn"),
         F.countDistinct("turn_idx").alias("n_turns"),
     )
