@@ -12,11 +12,11 @@ def _plan(df):
 
 
 def test_mention_salience_alias_dim_broadcasts(spark):
-    """The alias dictionary fans out via BROADCAST nested-loop (the raw
-    turn corpus never shuffles for the dictionary pass — only the conv-
-    keyed aggregates above it exchange; their conv-keyed join may be SMJ,
-    which is the co-partitioned shape that survives 10^10 conversations
-    where a spans broadcast would not)."""
+    """Round-3 shape: the alias dictionary joins exploded tokens via a
+    broadcast EQUI-join (BroadcastHashJoin) — O(corpus tokens) work,
+    independent of dictionary size. The previous turns x aliases
+    BroadcastNestedLoopJoin fan-out (round-2 shape) must never come
+    back: it multiplied the corpus scan by the dictionary row count."""
     from waka_spark.operators.linking import mention_salience
 
     turns = spark.createDataFrame(
@@ -25,11 +25,9 @@ def test_mention_salience_alias_dim_broadcasts(spark):
     aliases = spark.createDataFrame(
         [("spark", "Q1"), ("join", "Q2")], "alias_key string, url string")
     plan = _plan(mention_salience(turns, aliases))
-    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the match-count filter prunes non-matching fan-out rows BEFORE the
-    # first aggregation (it is fused into the join condition)
-    assert plan.index("BroadcastNestedLoopJoin") > plan.index("HashAggregate")
 
 
 def test_fact_history_single_exchange(spark):

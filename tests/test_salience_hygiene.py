@@ -682,3 +682,24 @@ def test_kg_prepare_graph_canonicalizes_endpoints(spark):
     # support is conversation-distinct and positive
     assert all(r["support"] >= 1 and r["n_assertions"] >= r["support"]
                for r in out)
+
+
+def test_mention_salience_normalizes_tokens_like_linker(spark):
+    """Round-3 (ADVICE): tokens normalize with the linking stack's
+    norm_key (lowercase) after stripping edge punctuation — 'Spark,'
+    matches alias 'spark'; interior chars are untouched ('spark.io'
+    stays distinct)."""
+    from waka_spark.operators.linking import mention_salience
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "Spark, is here"), ("c1", 1, "(SPARK) spark.io")],
+        "conv_id string, turn_idx int, text string",
+    )
+    aliases = spark.createDataFrame(
+        [("spark", "Q_spark")], "alias_key string, url string")
+    got = mention_salience(turns, aliases).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 'Spark,' (t0) + '(SPARK)' (t1); 'spark.io' strips only EDGE punct
+    # -> 'spark.io' != 'spark' so it does not count
+    assert (r["n_mentions"], r["first_turn"], r["n_turns"]) == (2, 0, 2)
