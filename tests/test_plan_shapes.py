@@ -181,3 +181,15 @@ def test_mention_salience_equi_join_no_alias_fanout(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_negative_samples_dense_index_is_partitioned(spark):
+    """negative_samples (round-3 rewrite): the dense node index must be
+    zipWithIndex-style (range partition + per-partition rank + broadcast
+    offsets) — the node-dictionary window is partitioned by _pid, never
+    an unpartitioned row_number() funneling 10^9 nodes through one
+    task."""
+    plan = plan_of(entry.q_kg_negative_samples(spark, SF))
+    norm = plan.lower().replace(" ", "")
+    assert "partitionspec=[]" not in norm  # no unpartitioned window
+    assert "window" in norm  # the per-partition rank is still a window

@@ -155,19 +155,46 @@ def negative_samples(
     """
     from pyspark.sql import Window
 
+    spark = triples.sparkSession
     nodes = (
         triples.select(F.col("subj_url").alias("node"))
         .unionByName(triples.select(F.col("obj_url").alias("node")))
         .distinct()
     )
-    # dense 0..N-1 index; the single-partition window is over the (small
-    # relative to edges) node dictionary — at real scale swap for
-    # zipWithIndex-style per-partition offsets; semantics are identical
-    idx = nodes.withColumn(
-        "node_idx",
-        F.row_number().over(Window.orderBy("node")) - 1,
+    # Dense 0..N-1 index by global sort order WITHOUT a global sort
+    # (round-3 fix: the old unpartitioned row_number() funneled the whole
+    # node dictionary — 10^9-10^10 rows at KG scale — through one task).
+    # zipWithIndex algebra: range-partition on node (partition p's nodes
+    # all sort before partition p+1's), rank within each partition, then
+    # add per-partition cumulative offsets. The offsets come from a
+    # driver-collected count per partition (n_parts rows — the same tiny
+    # count job RDD.zipWithIndex runs) broadcast back as a literal dim.
+    # Deterministic: the final index equals the global rank regardless of
+    # where the sampled range boundaries land, so it matches the oracle's
+    # row_number() OVER (ORDER BY node) exactly.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        nodes.repartitionByRange(n_parts, "node")
+        .withColumn("_pid", F.spark_partition_id())
     )
-    n_nodes = idx.count()
+    ranked = parts.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("node"))
+    )
+    cnt_rows = sorted(
+        parts.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    run = 0
+    offsets = []
+    for r in cnt_rows:
+        offsets.append((r["_pid"], run))
+        run += r["_cnt"]
+    n_nodes = run
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    idx = ranked.join(F.broadcast(offs), "_pid").select(
+        "node",
+        (F.col("_off") + F.col("_rn") - 1).cast("long").alias("node_idx"),
+    )
 
     fanned = triples.select(*EDGE_KEY).distinct().select(
         "*",
