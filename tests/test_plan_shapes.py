@@ -193,3 +193,11 @@ def test_negative_samples_dense_index_is_partitioned(spark):
     norm = plan.lower().replace(" ", "")
     assert "partitionspec=[]" not in norm  # no unpartitioned window
     assert "window" in norm  # the per-partition rank is still a window
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    """text_collocations (round-3 fix): the global top-k over scored
+    bigrams must compile to TakeOrderedAndProject; the only window left
+    is the rank assignment over the already-limited k rows."""
+    plan = plan_of(entry.q_text_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan

@@ -876,9 +876,14 @@ def collocations(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(
-        F.col("pmi").desc(), F.col("word_1").asc(), F.col("word_2").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
-    )
+    # Global top-k as orderBy+limit (round-3 fix): compiles to
+    # TakeOrderedAndProject — per-partition heaps + one k-row merge —
+    # instead of an unpartitioned row_number() window that funnels the
+    # whole scored-bigram table (vocab² candidates at corpus scale)
+    # through a single task. The rank is then assigned on the k-row
+    # result, where a single partition is the POINT.
+    order = [F.col("pmi").desc(), F.col("word_1").asc(),
+             F.col("word_2").asc()]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
