@@ -57,10 +57,14 @@ class KGPipeline:
     extra_scorer: Callable[[DataFrame], DataFrame] | None = None
     use_scorers: bool = True
     use_rerank: bool = True
-    # rule-RE backend: the Aho-Corasick pass costs O(text) per document
-    # regardless of rule count (identical output; see relations.py) —
-    # flip on when the rule table grows past a few dozen entries
-    use_aho_rules: bool = False
+    # rule-RE backend: Aho-Corasick by DEFAULT (round-3) — one O(text)
+    # automaton pass per document regardless of rule count, vs the
+    # double-`contains` broadcast theta join whose per-document work is
+    # O(len(text) * n_rules). Output is identical (equivalence-pinned in
+    # tests/test_decoders.py); set False to get the pure-DataFrame theta
+    # join, which can win only for a handful of rules where the Arrow
+    # hop costs more than the extra scans.
+    use_aho_rules: bool = True
     cfg: EngineConfig = field(default_factory=lambda: DEFAULT)
 
     # ---- stages (each returns a DataFrame; all lazy) -----------------------
