@@ -178,3 +178,37 @@ def test_conv_near_dups_sound_and_complete_for_identical(spark):
             for y in sets:
                 if x < y and sets[x] == sets[y]:
                     assert (x, y) in reported, f"seed {seed}: {x},{y}"
+
+
+def test_textrank_conv_id_with_colon_keeps_conversations_apart(spark):
+    """Round-3 (ADVICE): node keys are structs, so a conv_id containing
+    the old ':' delimiter can no longer collide/truncate — 's:1' and 's'
+    rank as separate conversations and extractive_summary joins texts on
+    the true keys."""
+    from waka_spark.operators.transcripts import (
+        extractive_summary,
+        textrank_turns,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("s:1", 0, "alpha beta gamma"),
+            ("s:1", 1, "alpha beta delta"),
+            ("s:1", 2, "epsilon zeta"),
+            ("s", 1, "alpha beta gamma"),
+            ("s", 2, "alpha beta delta"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    ranks = textrank_turns(t).collect()
+    by_conv = {}
+    for r in ranks:
+        by_conv.setdefault(r["conv_id"], set()).add(r["turn_idx"])
+    # every ranked (conv, turn) is a REAL input turn with its true id
+    assert by_conv["s:1"] <= {0, 1, 2}
+    assert by_conv["s"] <= {1, 2}
+    summ = extractive_summary(t, k=1).collect()
+    texts = {(r["conv_id"], r["turn_idx"]): r["text"] for r in summ}
+    src = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.collect()}
+    for k_, v in texts.items():
+        assert src[k_] == v

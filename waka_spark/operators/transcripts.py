@@ -808,8 +808,17 @@ def textrank_turns(
         .filter(F.col("_prev").isNotNull())
     )
     n_union = F.size(F.array_union("_toks", "_prev"))
-    node = F.concat_ws(":", "conv_id", "turn_idx")
-    prev_node = F.concat_ws(":", "conv_id", "_prev_idx")
+    # node ids are STRUCTS, not delimiter-joined strings (round-3 fix):
+    # concat_ws(':') truncated any conv_id containing ':' (conv_id 's:1'
+    # decoded as conv 's', turn 1) and extractive_summary then joined
+    # texts on the corrupted keys. Struct equality is exact for any
+    # conv_id and shuffles/joins the same as a string key.
+    node = F.struct(
+        F.col("conv_id").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"))
+    prev_node = F.struct(
+        F.col("conv_id").alias("conv_id"),
+        F.col("_prev_idx").cast("int").alias("turn_idx"))
     ed = pairs.select(
         prev_node.alias("src"),
         node.alias("dst"),
@@ -821,10 +830,9 @@ def textrank_turns(
     edges = ed.unionByName(
         ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
     ranks = pagerank(edges, n_iter=n_iter, damping=damping, weight_col="w")
-    parts = F.split("node", ":")
     return ranks.select(
-        parts.getItem(0).alias("conv_id"),
-        parts.getItem(1).cast("int").alias("turn_idx"),
+        F.col("node.conv_id").alias("conv_id"),
+        F.col("node.turn_idx").alias("turn_idx"),
         F.round("rank", 6).alias("rank"),
     )
 
