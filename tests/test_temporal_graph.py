@@ -643,3 +643,39 @@ def test_asof_join_equal_ts_ties_deterministic(spark):
             left, right.repartition(4), key="user_id",
             right_payload=["value"]).collect()
         assert len(got) == 1 and got[0]["value"] == 2.0
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    """Round-3 (ADVICE): k-2 <= 0 means EVERY edge survives, including
+    edges in no triangle — the peeling join is left+coalesce(0), not an
+    inner join that silently drops them."""
+    from waka_spark.operators.graph import k_truss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {(r["node_a"], r["node_b"]): r["support"]
+           for r in k_truss(edges, k=2).collect()}
+    # bridge edge c-d is triangle-free but must survive with support 0
+    assert got[("c", "d")] == 0
+    assert got[("a", "b")] == 1
+    assert len(got) == 4
+
+
+def test_ktruss_converged_round_reuses_support(spark):
+    """When a peeling round drops nothing, the final support equals that
+    round's (checkpointed) support — results identical with the final
+    enumeration skipped."""
+    from waka_spark.operators.graph import k_truss
+
+    # a 4-clique: every edge has support 2, nothing peels at k=4
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u < v],
+        "src string, dst string",
+    )
+    got = {(r["node_a"], r["node_b"]): r["support"]
+           for r in k_truss(edges, k=4, n_iter=3).collect()}
+    assert len(got) == 6
+    assert set(got.values()) == {2}

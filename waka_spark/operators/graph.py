@@ -977,17 +977,37 @@ def k_truss(
         return corners.groupBy("a", "b").agg(
             F.count("*").cast("long").alias("support"))
 
+    # Peeling joins LEFT with coalesce(support, 0) (round-3 fix): an edge
+    # in no triangle has support 0, which still satisfies k-2 <= 0 — the
+    # old inner join silently dropped triangle-free edges even for k <= 2.
+    # Each round's support table is checkpointed BEFORE the filter so a
+    # converged round (no edges dropped) can reuse it as the final
+    # support verbatim — skipping the last O(m^1.5) triangle enumeration
+    # entirely (support over an unchanged edge set is unchanged).
+    n_edges = canon.count()
+    converged_supp = None
     for _ in range(n_iter):
-        supp = edge_support(canon)
+        supp = ck.checkpoint(edge_support(canon))
         new_canon = ck.checkpoint(
-            canon.join(supp, ["a", "b"])
-            .filter(F.col("support") >= k - 2)
+            canon.join(supp, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select("a", "b")
         )
+        n_new = new_canon.count()
+        if n_new == n_edges:
+            ck.release(new_canon)
+            converged_supp = supp
+            break
         ck.release(canon)
+        ck.release(supp)
         canon = new_canon
+        n_edges = n_new
 
-    final = canon.join(edge_support(canon), ["a", "b"], "left").select(
+    final_supp = (
+        converged_supp if converged_supp is not None
+        else edge_support(canon)
+    )
+    final = canon.join(final_supp, ["a", "b"], "left").select(
         F.col("a").alias("node_a"), F.col("b").alias("node_b"),
         F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
