@@ -8938,8 +8938,12 @@ supp3 AS MATERIALIZED (
                 )
               ) GROUP BY threshold
             )
-            SELECT np.threshold, n_pairs, n_docs
-            FROM np JOIN nd ON np.threshold = nd.threshold
+            SELECT CAST(th.threshold AS DOUBLE) AS threshold,
+                   CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+            FROM th
+            LEFT JOIN np ON np.threshold = CAST(th.threshold AS DOUBLE)
+            LEFT JOIN nd ON nd.threshold = CAST(th.threshold AS DOUBLE)
         """,
         "multimodal_mix": """
             WITH a AS (

@@ -69,3 +69,22 @@ def test_delta_dedup_semi_join_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" in plan
+
+
+def test_jaccard_threshold_curve_zero_thresholds_present(spark):
+    """Round-3 (ADVICE): thresholds with zero qualifying pairs emit
+    (threshold, 0, 0) rows — the tuning curve has no silent holes."""
+    from waka_spark.operators.dedup import jaccard_threshold_curve
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    got = {r["threshold"]: (r["n_pairs"], r["n_docs"])
+           for r in jaccard_threshold_curve(
+               docs, thresholds=(0.5, 0.9, 1.1)).collect()}
+    # 1.1 can never qualify (jaccard <= 1.0): present with zeros
+    assert got[1.1] == (0, 0)
+    assert got[0.5][0] >= 1 and got[0.9][0] >= 1
+    assert set(got) == {0.5, 0.9, 1.1}

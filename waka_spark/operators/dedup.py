@@ -697,7 +697,11 @@ def jaccard_threshold_curve(
     in-row literal explode — per-θ work is two hash-aggs over the
     (already tiny) pair set, never a re-scan of the corpus.
 
-    Output: (threshold, n_pairs, n_docs) per threshold.
+    Output: (threshold, n_pairs, n_docs) per threshold — one row for
+    EVERY requested threshold: cuts with zero qualifying pairs report
+    (threshold, 0, 0) rather than silently vanishing from the curve
+    (round-3 fix: the aggregates left-join onto the literal threshold
+    frame; a tuning curve with holes reads as "forgot to measure").
     """
     pairs = ngram_jaccard_pairs(
         df, threshold=min(thresholds), id_col=id_col, text_col=text_col,
@@ -718,4 +722,14 @@ def jaccard_threshold_curve(
         .groupBy("threshold")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    return n_pairs.join(n_docs, "threshold")
+    grid = df.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double")
+    return (
+        grid.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
