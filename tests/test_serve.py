@@ -42,3 +42,28 @@ def test_kg_service_http_roundtrip(spark):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_service_releases_only_its_own_rdds(spark):
+    """Round-3 (ADVICE): per-request cleanup unpersists only the RDDs the
+    request's pipeline run pinned — a bystander persisted frame in the
+    shared session survives (the old clearCache() nuked it)."""
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.serve import KGService
+
+    bystander = spark.range(100).persist()
+    bystander.count()  # materialize the cache
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persistent_ids()
+    assert before  # the bystander's cached RDD is registered
+    svc = KGService(spark, bauhaus_pipeline(spark))
+    svc.construct("Walter Gropius founded the Bauhaus.")
+    after = persistent_ids()
+    # the bystander survives untouched; the run's own pins are gone
+    assert after == before
+    assert bystander.storageLevel.useMemory
+    bystander.unpersist()

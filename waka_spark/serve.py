@@ -48,11 +48,21 @@ class KGService:
     def __init__(self, spark: SparkSession, pipeline: KGPipeline):
         self.spark = spark
         self.pipeline = pipeline
+        # one pipeline run at a time: the targeted storage release below
+        # snapshots the persistent-RDD set around the run, which is only
+        # attributable when runs don't interleave (demo endpoint — batch
+        # throughput goes through scripts/submit_job.py, not HTTP)
+        self._run_lock = threading.Lock()
 
     def construct(self, text: str, conv_id: str = "request") -> dict:
+        with self._run_lock:
+            return self._construct(text, conv_id)
+
+    def _construct(self, text: str, conv_id: str) -> dict:
         transcripts = self.spark.createDataFrame(
             [(conv_id, 0, "user", text, None, None)], schemas.TRANSCRIPTS
         )
+        persisted_before = self._persistent_rdd_ids()
         out = self.pipeline.run(transcripts, resolve=True, cut_lineage="smart")
         triples = [
             {
@@ -69,11 +79,25 @@ class KGService:
             for r in out["final_entities"]
             .select("url", "label", "score").collect()
         ]
-        # the pipeline persists multi-consumer stages per run; a long-lived
-        # endpoint must release them per request or storage memory
-        # accumulates one pinned set per call
-        self.spark.catalog.clearCache()
+        # The pipeline persists/localCheckpoints multi-consumer stages per
+        # run; a long-lived endpoint must release them per request or
+        # storage memory accumulates one pinned set per call. Release ONLY
+        # the RDDs this run pinned (round-3 fix, per ADVICE): the old
+        # spark.catalog.clearCache() unpersisted every cached frame in the
+        # shared session — including frames persisted by other workloads
+        # sharing it — risking the lazy-recompute races the operator
+        # comments warn about.
+        for rdd_id, jrdd in self._persistent_rdds():
+            if rdd_id not in persisted_before:
+                jrdd.unpersist()
         return {"conv_id": conv_id, "triples": triples, "entities": entities}
+
+    def _persistent_rdds(self):
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return [(int(k), jmap[k]) for k in jmap.keySet().toArray()]
+
+    def _persistent_rdd_ids(self) -> set:
+        return {rdd_id for rdd_id, _ in self._persistent_rdds()}
 
 
 def _make_handler(service: KGService):
