@@ -760,10 +760,16 @@ def score_auc(
             .cast("long").alias("n"),
         )
     )
-    w = Window.orderBy(F.col("s").asc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    ranked = by_score.withColumn(
-        "n_below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # exclusive prefix count of negatives under the score order via the
+    # zipWithIndex plan (round-3): distinct-score cardinality is corpus-
+    # sized for continuous scores, so the unpartitioned running-sum
+    # window is replaced by range partition + per-partition running sum
+    # + broadcast offsets (plans/zipindex.py) — identical integer sums.
+    from waka_spark.plans.zipindex import with_global_order_stats
+
+    ranked = with_global_order_stats(
+        by_score, [F.col("s").asc()], rank_col=None,
+        prefix_sums={"n": "n_below"})
     return ranked.agg(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("n").cast("long").alias("n_neg"),

@@ -802,11 +802,16 @@ def zipf_fit(
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
-    ranked = words.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("word").asc())),
-    )
+    # global frequency rank via the zipWithIndex plan (round-3): the
+    # vocabulary is 10^8-ish rows at corpus scale, and Zipf needs EVERY
+    # word's rank (not a top-k), so the single-partition Window.orderBy
+    # funnel is replaced by range partition + per-partition rank +
+    # broadcast offsets (plans/zipindex.py) — same ranks exactly.
+    from waka_spark.plans.zipindex import with_global_order_stats
+
+    ranked = with_global_order_stats(
+        words, [F.col("freq").desc(), F.col("word").asc()],
+        rank_col="rank")
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rank").cast("double"))
     return ranked.agg(
