@@ -3320,6 +3320,62 @@ def q_kg_prepare_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 # ---------------------------------------------------------------------------
 
+def q_kg_edge_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-correction MERGE with deletes (plans/incremental.py
+    apply_edge_changes): the even-conv base edges table receives a change
+    batch retracting every 'links'-predicate edge and upserting the
+    odd-conv delta — WHEN MATCHED AND op='retract' THEN DELETE semantics
+    the plain upsert merge cannot express. One left_anti + one identity-
+    keyed hash agg."""
+    from waka_spark.plans.incremental import (
+        apply_edge_changes,
+        edges_from_triples,
+    )
+
+    t = _rule_triples_scored(spark, sf_dir)
+    base = edges_from_triples(t.filter(F.col("conv_id").cast("int") % 2 == 0))
+    upserts = edges_from_triples(
+        t.filter(F.col("conv_id").cast("int") % 2 == 1)
+    ).withColumn("op", F.lit("upsert"))
+    retracts = (
+        base.filter(F.col("pred_url") == "http://example.org/P_links")
+        .select("subj_url", "pred_url", "obj_url")
+        .withColumn("score", F.lit(None).cast("double"))
+        .withColumn("support", F.lit(0).cast("long"))
+        .withColumn("n_convs", F.lit(0).cast("long"))
+        .withColumn("op", F.lit("retract"))
+    )
+    out = apply_edge_changes(base, upserts.unionByName(retracts))
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH recall vs the exact Jaccard truth at θ=0.5
+    (operators/dedup.py minhash_recall) — the deployed-banding
+    counterpart of the θ-tuning curve; both sides bucketed joins, final
+    comparison a left join on the true-pair set + one-row agg."""
+    from waka_spark.operators.dedup import minhash_recall
+
+    return minhash_recall(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_curation_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling plan (operators/curation.py
+    mixture_plan): per-domain token availability vs DoReMi-style target
+    weights under a 20k-token budget — sampling rates for over-supplied
+    domains, epoch counts for under-supplied ones ('xx' targets a domain
+    absent from the corpus and is excluded by the weight join). One
+    domain-keyed hash agg + broadcast weight literal."""
+    from waka_spark.operators.curation import mixture_plan
+
+    return mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        weights={"en": 0.5, "de": 0.2, "zh": 0.2, "xx": 0.1},
+        token_budget=20_000,
+        domain_col="lang",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full KG pipeline over sf0.001 documents-as-transcripts."""
     return q_kg_e2e_triples(spark, "/root/testdata/sf0.001")
@@ -3387,6 +3443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "kg_edges_merge": q_kg_edges_merge,
         "kg_nodes_merge": q_kg_nodes_merge,
+        "kg_edge_retraction": q_kg_edge_retraction,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
+        "curation_token_mix": q_curation_token_mix,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_predicate_profile": q_kg_predicate_profile,
         "graph_hits": q_graph_hits,
@@ -5385,6 +5444,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS support,
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM scored GROUP BY 1, 2, 3
+        """,
+        "kg_edge_retraction": f"""
+            WITH {_ASSEMBLY_CTE},
+            rules(s, o, su, pu, ou) AS (VALUES {_RULE_VALUES}),
+            triples AS (
+              SELECT DISTINCT conv_id, su AS subj_url, pu AS pred_url, ou AS obj_url
+              FROM conv JOIN rules ON strpos(text, s) > 0 AND strpos(text, o) > 0
+            ),
+            scored AS (
+              SELECT *, CAST(0.1 AS DOUBLE)
+                        + (CAST(conv_id AS INT) % 10) / CAST(10.0 AS DOUBLE) AS score
+              FROM triples
+            ),
+            base AS (
+              SELECT subj_url, pred_url, obj_url, max(score) AS score,
+                     count(*) AS support, count(DISTINCT conv_id) AS n_convs
+              FROM scored WHERE CAST(conv_id AS INT) % 2 = 0 GROUP BY 1, 2, 3
+            ),
+            delta AS (
+              SELECT subj_url, pred_url, obj_url, max(score) AS score,
+                     count(*) AS support, count(DISTINCT conv_id) AS n_convs
+              FROM scored WHERE CAST(conv_id AS INT) % 2 = 1 GROUP BY 1, 2, 3
+            ),
+            -- WHEN MATCHED AND op='retract' THEN DELETE: links-predicate
+            -- edges leave the base; the odd-conv upserts then merge
+            kept AS (
+              SELECT * FROM base
+              WHERE pred_url <> 'http://example.org/P_links'
+            )
+            SELECT subj_url, pred_url, obj_url,
+                   round(max(score), 6) AS score,
+                   CAST(sum(support) AS BIGINT) AS support,
+                   CAST(sum(n_convs) AS BIGINT) AS n_convs
+            FROM (SELECT * FROM kept UNION ALL SELECT * FROM delta)
+            GROUP BY 1, 2, 3
+        """,
+        "dedup_minhash_recall": f"""
+            WITH {_SHINGLES_CTE},
+            sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) AS n_common
+              FROM s a JOIN s b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN sz x ON x.doc_id = doc_a
+              JOIN sz y ON y.doc_id = doc_b
+              WHERE round(n_common
+                          / CAST(x.n + y.n - n_common AS DOUBLE), 6) >= 0.5
+            ),
+            sigs AS (
+              SELECT doc_id, band,
+                     min(substr(md5(shingle) || md5('#' || shingle),
+                                band * 8 + 1, 8)) AS sig
+              FROM s, (SELECT unnest(generate_series(0, 7)) AS band) bands
+              GROUP BY doc_id, band
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT t.doc_a,
+                     CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM truth t
+              LEFT JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+            )
+            SELECT CAST(0.5 AS DOUBLE) AS threshold,
+                   CAST(count(*) AS BIGINT) AS n_true_pairs,
+                   CAST(sum(hit) AS BIGINT) AS n_caught,
+                   round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS recall
+            FROM j
+        """,
+        "curation_token_mix": """
+            WITH per AS (
+              SELECT lang AS domain,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY 1
+            ),
+            w(domain, weight) AS (VALUES
+              ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+              ('xx', CAST(0.1 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)))
+            SELECT per.domain, n_docs, n_tokens, weight,
+                   CAST(round(20000 * weight) AS BIGINT) AS target_tokens,
+                   round(least(1.0, round(20000 * weight) / CAST(n_tokens AS DOUBLE)), 6)
+                     AS sampling_rate,
+                   round(round(20000 * weight) / CAST(n_tokens AS DOUBLE), 6)
+                     AS n_epochs
+            FROM per JOIN w ON per.domain = w.domain
         """,
         "kg_nodes_merge": f"""
             WITH {_ASSEMBLY_CTE},

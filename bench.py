@@ -181,6 +181,9 @@ EXTRAS = [
     "dedup_threshold_curve",
     "multimodal_mix",
     "kg_prepare_graph",
+    "kg_edge_retraction",
+    "dedup_minhash_recall",
+    "curation_token_mix",
 ]
 
 

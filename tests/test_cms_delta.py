@@ -88,3 +88,31 @@ def test_jaccard_threshold_curve_zero_thresholds_present(spark):
     assert got[1.1] == (0, 0)
     assert got[0.5][0] >= 1 and got[0.9][0] >= 1
     assert set(got) == {0.5, 0.9, 1.1}
+
+
+def test_minhash_recall_bounds_and_perfect_on_exact_dups(spark):
+    """Exact duplicates share every shingle, so every band collides:
+    recall must be 1.0; the one-row output carries the truth count."""
+    from waka_spark.operators.dedup import minhash_recall
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    r = minhash_recall(docs, threshold=0.9).collect()[0]
+    assert (r["n_true_pairs"], r["n_caught"]) == (1, 1)
+    assert r["recall"] == 1.0
+
+
+def test_minhash_recall_empty_truth_is_null(spark):
+    from waka_spark.operators.dedup import minhash_recall
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r = minhash_recall(docs, threshold=0.5).collect()[0]
+    assert r["n_true_pairs"] == 0
+    assert r["recall"] is None

@@ -388,3 +388,24 @@ def test_salt_recommendation_flags_hot_keys_only(spark):
     assert set(got) == {"hot"}
     assert got["hot"]["salt_factor"] == 3
     assert got["hot"]["share"] == 0.625
+
+
+def test_mixture_plan_rates_and_epochs(spark):
+    from waka_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "a b c d e f", "en"),
+         (3, "x y", "de"), (4, "q", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["domain"]: r for r in mixture_plan(
+        docs, weights={"en": 0.5, "de": 0.5, "xx": 0.0},
+        token_budget=8, domain_col="lang").collect()}
+    # zz has no target weight -> excluded; xx has no corpus rows -> absent
+    assert set(got) == {"en", "de"}
+    en, de = got["en"], got["de"]
+    assert (en["n_docs"], en["n_tokens"], en["target_tokens"]) == (2, 10, 4)
+    assert en["sampling_rate"] == 0.4 and en["n_epochs"] == 0.4
+    # de under-supplied: rate caps at 1.0, epochs = 2.0 repeats
+    assert (de["n_tokens"], de["target_tokens"]) == (2, 4)
+    assert de["sampling_rate"] == 1.0 and de["n_epochs"] == 2.0

@@ -145,3 +145,40 @@ def test_predicate_profile_functionality(spark):
     f = got["p_func"]
     assert (f["n_edges"], f["max_out_fanout"], f["max_in_fanout"]) == (2, 1, 1)
     assert f["functionality"] == 1.0 and f["inv_functionality"] == 1.0
+
+
+def test_apply_edge_changes_retract_upsert_semantics(spark):
+    from waka_spark.plans.incremental import apply_edge_changes
+
+    base = spark.createDataFrame(
+        [("a", "p", "b", 0.5, 2, 2), ("a", "p", "c", 0.9, 1, 1),
+         ("x", "q", "y", 0.3, 4, 3)],
+        "subj_url string, pred_url string, obj_url string, "
+        "score double, support long, n_convs long",
+    )
+    changes = spark.createDataFrame(
+        [
+            # plain retract
+            ("a", "p", "b", None, 0, 0, "retract"),
+            # retract + re-assert in one batch: upsert values alone win
+            ("a", "p", "c", 0.4, 1, 1, "retract"),
+            ("a", "p", "c", 0.4, 1, 1, "upsert"),
+            # upsert of existing identity merges
+            ("x", "q", "y", 0.8, 2, 1, "upsert"),
+            # retract of an absent identity is a no-op
+            ("z", "q", "z", None, 0, 0, "retract"),
+            # brand-new insert
+            ("n", "p", "m", 0.7, 1, 1, "upsert"),
+        ],
+        "subj_url string, pred_url string, obj_url string, "
+        "score double, support long, n_convs long, op string",
+    )
+    got = {(r["subj_url"], r["pred_url"], r["obj_url"]):
+           (r["score"], r["support"], r["n_convs"])
+           for r in apply_edge_changes(base, changes).collect()}
+    assert ("a", "p", "b") not in got
+    assert got[("a", "p", "c")] == (0.4, 1, 1)  # delete-then-insert
+    assert got[("x", "q", "y")] == (0.8, 6, 4)  # merge algebra
+    assert got[("n", "p", "m")] == (0.7, 1, 1)
+    assert ("z", "q", "z") not in got
+    assert len(got) == 3

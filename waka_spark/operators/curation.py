@@ -958,3 +958,58 @@ def curriculum_deciles(
         F.col(score_col).alias("score"),
         F.ntile(n_buckets).over(w).alias("decile"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture sampling plan: given target domain weights and a
+    total token budget, compute per-domain availability and the sampling
+    rate / epoch count that realizes the mix — the DoReMi/Llama-style
+    "how many passes over each source" table a pretraining run is
+    launched with (complement of :func:`mixture_sample`, which EXECUTES a
+    per-domain rate; this PLANS the rates from a token budget).
+
+    Per target domain: ``target_tokens = budget·weight``;
+    ``sampling_rate = min(1, target/available)`` (downsample rate for
+    over-supplied domains); ``n_epochs = target/available`` (>1 ⇒ the
+    repeat factor for under-supplied domains — the number the curriculum
+    keeps below ~4 before quality degrades, Muennighoff et al. 2023).
+
+    Scale shape: ONE domain-keyed hash agg over in-row token counts
+    (map-side partials) + a broadcast join against the literal weight
+    table. Domains outside the target mix are excluded by the inner
+    join — they get no budget share.
+
+    Output: (domain, n_docs, n_tokens, weight, target_tokens,
+    sampling_rate, n_epochs), ordered keys; rates round-6.
+    """
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    per = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+        )
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "domain string, weight double")
+    target = F.round(F.lit(float(token_budget)) * F.col("weight"))
+    return (
+        per.join(F.broadcast(wdf), "domain")
+        .select(
+            "domain", "n_docs", "n_tokens", "weight",
+            target.cast("long").alias("target_tokens"),
+            F.round(
+                F.least(F.lit(1.0), F.try_divide(target, F.col("n_tokens"))),
+                6).alias("sampling_rate"),
+            F.round(F.try_divide(target, F.col("n_tokens")), 6)
+            .alias("n_epochs"),
+        )
+    )

@@ -733,3 +733,48 @@ def jaccard_threshold_curve(
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+def minhash_recall(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Measured recall of MinHash-LSH candidate generation against the
+    exact Jaccard truth — the companion of :func:`jaccard_threshold_curve`
+    (which tunes θ) and the dedup twin of ann's ``lsh_recall``/
+    ``ivf_recall``: given the banding config actually deployed, what
+    fraction of TRUE near-dup pairs (exact Jaccard ≥ θ) collide in at
+    least one band bucket? The number that decides whether to add bands
+    before a production pass, measured on a sample instead of guessed
+    from the S-curve formula (which assumes independent uniform hashes
+    the 32-bit md5-slice minhash only approximates).
+
+    Truth side = the shingle-equi-join exact pairs (never all-pairs);
+    candidate side = the banded signature join; both are bucketed joins,
+    and the final comparison is one left join on the (tiny) true-pair set
+    + a single-row aggregate.
+
+    Output: one row (threshold, n_true_pairs, n_caught, recall); recall
+    is NULL when there are no true pairs (nothing to measure).
+    """
+    truth = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+    ).select("doc_a", "doc_b")
+    cand = (
+        minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, n=n,
+                          n_bands=n_bands)
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    n_caught = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return joined.agg(
+        F.lit(float(threshold)).alias("threshold"),
+        F.count("*").cast("long").alias("n_true_pairs"),
+        n_caught.cast("long").alias("n_caught"),
+        F.round(F.try_divide(n_caught, F.count("*")), 6).alias("recall"),
+    )

@@ -310,3 +310,32 @@ def functional_violations(
         .filter(F.col("n_objects") > 1)
         .select("pred_url", "subj_url", "n_objects", "functionality")
     )
+
+
+def apply_edge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE with retractions — the KG-correction flow the plain
+    :func:`merge_edges` upsert cannot express (an extraction bug fixed
+    upstream must DELETE its asserted edges, not merely down-weight
+    them). ``changes`` rows carry ``op`` ∈ {'upsert', 'retract'}:
+
+        MERGE INTO edges b USING changes d ON <edge identity>
+        WHEN MATCHED AND d.op = 'retract' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET <merge_edges algebra>
+        WHEN NOT MATCHED AND d.op = 'upsert' THEN INSERT *
+
+    Matched-clause order = delete-then-insert: an identity both
+    retracted and upserted in one batch re-asserts from the upsert's
+    values ALONE (the base row is gone). Retracting an absent identity
+    is a no-op.
+
+    Scale shape: one left_anti on the edge identity (the retract set is
+    typically tiny — broadcast) + the merge hash agg; everything keyed
+    by the same (subj, pred, obj) identity, so AQE reuses one
+    partitioning.
+    """
+    retracts = (
+        changes.filter(F.col("op") == "retract").select(*EDGE_KEY).distinct()
+    )
+    upserts = changes.filter(F.col("op") == "upsert").drop("op")
+    kept = base.join(retracts, EDGE_KEY, "left_anti")
+    return merge_edges(kept, upserts)
