@@ -1054,9 +1054,18 @@ def _simhash_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = str(sf_dir)
     path = _SIMGRAPH_PATHS.get(key)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="waka_simgraph_") + "/edges"
+        base = tempfile.mkdtemp(prefix="waka_simgraph_")
+        # the materialization is process-scoped scratch, not an artifact:
+        # remove it on interpreter exit so repeated bench/test processes
+        # don't accumulate orphaned edge sets in TMPDIR. Staleness is not
+        # a concern for the driver's sf dirs (generated once, read-only),
+        # and the cache dies with the process either way.
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/edges"
         symmetrize(simhash_pairs(_t(spark, sf_dir, "documents"))) \
             .write.mode("overwrite").parquet(path)
         _SIMGRAPH_PATHS[key] = path

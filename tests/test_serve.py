@@ -67,3 +67,18 @@ def test_service_releases_only_its_own_rdds(spark):
     assert after == before
     assert bystander.storageLevel.useMemory
     bystander.unpersist()
+
+
+def test_service_leaves_no_cache_manager_entries(spark):
+    """Round-3 (review): per-request release must clear the session
+    CacheManager entries the pipeline's persist() stages registered —
+    raw-RDD unpersist alone frees blocks but leaks one driver-side
+    registry entry per request-unique plan forever."""
+    from waka_spark.plans.pipeline import bauhaus_pipeline
+    from waka_spark.serve import KGService
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    svc = KGService(spark, bauhaus_pipeline(spark))
+    svc.construct("Walter Gropius founded the Bauhaus.")
+    assert cm.isEmpty()

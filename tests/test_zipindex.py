@@ -61,3 +61,17 @@ def test_no_single_partition_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     norm = plan.lower().replace(" ", "")
     assert "partitionspec=[]" not in norm
+
+
+def test_pin_scope_releases_only_scope_pins(spark):
+    from waka_spark.plans.pins import pin, pin_scope
+
+    outside = pin(spark.range(10))
+    outside.count()
+    with pin_scope():
+        inside = pin(spark.range(20))
+        inside.count()
+        assert inside.storageLevel.useMemory
+    assert not inside.storageLevel.useMemory  # released on exit
+    assert outside.storageLevel.useMemory     # untouched
+    outside.unpersist()

@@ -327,9 +327,11 @@ def apply_conflict_resolution(
         .unionByName(fused_triples.select("conv_id", F.col("obj_url").alias("url")))
         .distinct()
     )
-    participating = entities.join(
+    from waka_spark.plans.pins import pin
+
+    participating = pin(entities.join(
         used_urls, on=["conv_id", "url"], how="left_semi"
-    ).persist()
+    ))
 
     conflicted = conflicted_conversations(participating)
     clean = participating.join(conflicted, "conv_id", "left_anti")
@@ -337,7 +339,7 @@ def apply_conflict_resolution(
 
     # multiple consumers (semi joins + entities_out): persist, or the
     # per-conv Python grouped map runs repeatedly
-    resolved_dirty = resolve_conflicts(dirty).persist()
+    resolved_dirty = pin(resolve_conflicts(dirty))
 
     mention_schema = (
         "array<struct<start_idx:int,end_idx:int,text:string,e_type:string,"

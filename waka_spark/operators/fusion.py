@@ -194,7 +194,9 @@ def fuse_triples(
     # the index feeds two plan branches (the exact-lookup left join and the
     # containment fallback) and `resolved` feeds two (subj/obj sides) —
     # persist both or each branch recomputes the mention explode + agg
-    index = mention_entity_index(entities).persist()
+    from waka_spark.plans.pins import pin
+
+    index = pin(mention_entity_index(entities))
 
     triples = linked_triples.withColumn(
         "ts_id",
@@ -206,10 +208,10 @@ def fuse_triples(
         .unionByName(triples.select("conv_id", F.col("obj_text").alias("q_text")))
         .distinct()
     )
-    resolved = resolve_endpoints(
+    resolved = pin(resolve_endpoints(
         endpoints, index,
         max_fallback_queries_per_conv=cfg.max_fallback_queries_per_conv,
-    ).persist()
+    ))
 
     subj_c = resolved.select(
         F.col("conv_id").alias("s_conv"), F.col("q_text").alias("s_text"),

@@ -172,10 +172,16 @@ def negative_samples(
     # Deterministic: the final index equals the global rank regardless of
     # where the sampled range boundaries land, so it matches the oracle's
     # row_number() OVER (ORDER BY node) exactly.
+    # persist is load-bearing (see plans/zipindex.py): the counts collect
+    # and the final join are separate jobs, and an unpersisted
+    # repartitionByRange can resample different range boundaries per job
+    # (RangePartitioner seeds by RDD id) — offsets would then describe a
+    # partitioning the rank job never had, silently corrupting node_idx.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = (
         nodes.repartitionByRange(n_parts, "node")
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     ranked = parts.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("node"))

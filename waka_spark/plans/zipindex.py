@@ -57,15 +57,35 @@ def with_global_order_stats(
 
     One range shuffle + one hash shuffle (both fully parallel) + a
     driver round-trip of n_parts rows. No single-partition exchange.
+
+    NOTE: like RDD.zipWithIndex, this is EAGER — the offsets count job
+    runs when the plan is built, not at the caller's action (the global
+    offsets cannot exist before the data is partitioned). Callers that
+    may abandon the plan should build it lazily behind their own gate.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     prefix_sums = prefix_sums or {}
 
+    # PERSIST is load-bearing, not an optimization: `parts` is consumed by
+    # two jobs (the offsets collect below and the caller's final action),
+    # and RangePartitioner seeds its reservoir sampling from the physical
+    # RDD id — two separate executions of repartitionByRange can sample
+    # DIFFERENT range boundaries once inputs are large enough to be
+    # subsampled. Offsets computed against one partitioning and ranks
+    # against another would silently duplicate/skip global positions. The
+    # persist pins ONE physical partitioning: the collect materializes the
+    # cache, the final job reads it. (Same reason RDD.zipWithIndex runs
+    # its count job on the one RDD instance it then maps over.) The cache
+    # also stops the upstream aggregate from being computed twice. It is
+    # deliberately left cached — the output plan remains lazy and must
+    # keep reading the pinned partitioning; one-shot jobs release it at
+    # session end, long-lived sessions may unpersist after consuming.
     parts = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w = Window.partitionBy("_pid").orderBy(*order_by)
     w_excl = w.rowsBetween(Window.unboundedPreceding, -1)

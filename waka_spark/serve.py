@@ -59,34 +59,45 @@ class KGService:
             return self._construct(text, conv_id)
 
     def _construct(self, text: str, conv_id: str) -> dict:
+        from waka_spark.plans.pins import pin_scope
+
         transcripts = self.spark.createDataFrame(
             [(conv_id, 0, "user", text, None, None)], schemas.TRANSCRIPTS
         )
+        # Per-request storage release, two layers (round-3, per ADVICE +
+        # review — the old spark.catalog.clearCache() nuked every cached
+        # frame in the shared session, including other workloads'):
+        #
+        # 1. pin_scope: the pipeline's DataFrame.persist() stages (fusion
+        #    index, conflict frames) register per-request-unique entries
+        #    in the session CacheManager; only DataFrame.unpersist()
+        #    removes those driver-side entries, so the operators register
+        #    their pins with this scope and the scope releases them —
+        #    blocks AND CacheManager entries.
+        # 2. RDD-set snapshot: localCheckpoint blocks (cut_lineage) are
+        #    RDD-level pins with no DataFrame handle surviving the run;
+        #    release exactly the ids this run added.
         persisted_before = self._persistent_rdd_ids()
-        out = self.pipeline.run(transcripts, resolve=True, cut_lineage="smart")
-        triples = [
-            {
-                "subject": {"url": r["subj_url"], "label": r["subj_label"]},
-                "predicate": {"url": r["pred_url"], "label": r["pred_label"]},
-                "object": {"url": r["obj_url"], "label": r["obj_label"]},
-                "score": r["score"],
-                "id_": r["id_"],
-            }
-            for r in out["triples"].collect()
-        ]
-        entities = [
-            {"url": r["url"], "label": r["label"], "score": r["score"]}
-            for r in out["final_entities"]
-            .select("url", "label", "score").collect()
-        ]
-        # The pipeline persists/localCheckpoints multi-consumer stages per
-        # run; a long-lived endpoint must release them per request or
-        # storage memory accumulates one pinned set per call. Release ONLY
-        # the RDDs this run pinned (round-3 fix, per ADVICE): the old
-        # spark.catalog.clearCache() unpersisted every cached frame in the
-        # shared session — including frames persisted by other workloads
-        # sharing it — risking the lazy-recompute races the operator
-        # comments warn about.
+        with pin_scope():
+            out = self.pipeline.run(
+                transcripts, resolve=True, cut_lineage="smart")
+            triples = [
+                {
+                    "subject": {"url": r["subj_url"],
+                                "label": r["subj_label"]},
+                    "predicate": {"url": r["pred_url"],
+                                  "label": r["pred_label"]},
+                    "object": {"url": r["obj_url"], "label": r["obj_label"]},
+                    "score": r["score"],
+                    "id_": r["id_"],
+                }
+                for r in out["triples"].collect()
+            ]
+            entities = [
+                {"url": r["url"], "label": r["label"], "score": r["score"]}
+                for r in out["final_entities"]
+                .select("url", "label", "score").collect()
+            ]
         for rdd_id, jrdd in self._persistent_rdds():
             if rdd_id not in persisted_before:
                 jrdd.unpersist()
