@@ -4334,9 +4334,18 @@ def _kcore_sql(k: int = 3, n_iter: int = 5) -> str:
   JOIN a{i - 1} t ON e.dst = t.node
   GROUP BY e.src HAVING count(*) >= {k}
 ), a{i} AS (SELECT node FROM d{i})""")
+    # final degrees over the FINAL survivor set (mirrors the operator's
+    # round-3 final recompute — identical on converged runs)
+    ctes.append(f"""dfin AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM g_edges e
+  JOIN a{n_iter} s ON e.src = s.node
+  JOIN a{n_iter} t ON e.dst = t.node
+  GROUP BY e.src
+)""")
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
-        f"SELECT node AS doc_id, degree FROM d{n_iter}"
+        f"SELECT node AS doc_id, degree FROM dfin"
     )
 
 

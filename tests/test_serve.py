@@ -77,8 +77,13 @@ def test_service_leaves_no_cache_manager_entries(spark):
     from waka_spark.plans.pipeline import bauhaus_pipeline
     from waka_spark.serve import KGService
 
+    # session-scoped fixture: other tests may legitimately hold cached
+    # frames, so assert the request adds NOTHING rather than emptiness
     cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty()
+    before_empty = cm.isEmpty()
     svc = KGService(spark, bauhaus_pipeline(spark))
     svc.construct("Walter Gropius founded the Bauhaus.")
-    assert cm.isEmpty()
+    assert cm.isEmpty() == before_empty
+    # and a second request still adds nothing (no per-request growth)
+    svc.construct("Mies van der Rohe led the Bauhaus.")
+    assert cm.isEmpty() == before_empty

@@ -516,11 +516,15 @@ def test_bfs_distances_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
     )
-    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    seeds = spark.createDataFrame([(0,), (9,), (9,), (77,)], "node long")
     out = bfs_distances(symmetrize(pairs), seeds, n_iter=3)
     got = {r["node"]: r["dist"] for r in out.collect()}
-    # 3 rounds reach depth 3; node 4 stays unreached (absent)
-    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 0}
+    # 3 rounds reach depth 3; node 4 stays unreached (absent). Round-3
+    # contract: seeds NOT in the graph (9, 77 — edge-list graphs have no
+    # isolated nodes) are dropped, not emitted as phantom dist-0 rows,
+    # and duplicate seeds don't duplicate output.
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert out.count() == 4
 
 
 def test_bfs_distances_multi_source_min(spark):
@@ -679,3 +683,29 @@ def test_ktruss_converged_round_reuses_support(spark):
            for r in k_truss(edges, k=4, n_iter=3).collect()}
     assert len(got) == 6
     assert set(got.values()) == {2}
+
+
+def test_pagerank_and_hits_empty_graph(spark):
+    """Round-3 (review): an empty edge list returns empty frames with
+    the right schema, not a driver ZeroDivisionError."""
+    from waka_spark.operators.graph import hits, pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    pr = pagerank(empty, n_iter=2)
+    assert pr.columns == ["node", "rank"] and pr.count() == 0
+    h = hits(empty, n_iter=2)
+    assert h.columns == ["node", "hub", "authority"] and h.count() == 0
+
+
+def test_kcore_nonconverged_degrees_are_subgraph_true(spark):
+    """Round-3 (review): k_core reports degrees within the FINAL
+    survivor set — a path a-b-c-d-e at k=2, n_iter=1 keeps {b,c,d} but
+    must report their induced-subgraph degrees (1,2,1), not the (2,2,2)
+    measured before the endpoints were peeled."""
+    from waka_spark.operators.graph import k_core, symmetrize
+
+    edges = symmetrize(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "doc_a string, doc_b string"))
+    got = {r["node"]: r["degree"] for r in k_core(edges, k=2, n_iter=1).collect()}
+    assert got == {"b": 1, "c": 2, "d": 1}

@@ -102,6 +102,13 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list (e.g. an upstream similarity threshold left no
+        # edges): return an empty (node, rank) frame with the right
+        # schema instead of a driver-side ZeroDivisionError
+        for helper in (out_edges, nodes):
+            helper.unpersist(False)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = ck.checkpoint(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
@@ -176,6 +183,10 @@ def hits(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist(False)
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority"))
 
     scores = ck.checkpoint(nodes.select(
         "node",
@@ -244,9 +255,21 @@ def bfs_distances(
 
     ck = TrackedCheckpoints(edges.sparkSession)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    dist = ck.checkpoint(seeds.select(
-        F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
-    ))
+    # seeds are deduped and intersected with the graph's node set
+    # (round-3 fix): stale/foreign seed ids (entities resolved away by a
+    # merge pass) must not surface as phantom dist-0 rows in a result
+    # whose contract is "reached GRAPH nodes", and duplicate seeds must
+    # not duplicate output rows. Semi join needs no distinct on the
+    # endpoint union. Same guard personalized_pagerank applies.
+    graph_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+    )
+    dist = ck.checkpoint(
+        seeds.select(F.col(node).alias("node")).distinct()
+        .join(graph_nodes, "node", "left_semi")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
     for _ in range(n_iter):
         expanded = (
             e.join(dist, e["src"] == dist["node"])
@@ -377,7 +400,20 @@ def k_core(
         if prev_alive is not None:
             ck.release(prev_alive)
         prev_alive, alive = alive, new_alive
-    result = ck.checkpoint(deg)
+    # degrees RECOMPUTED over the FINAL survivor set (round-3 fix): the
+    # last round's `deg` measured degrees against the set entering that
+    # round, so on non-converged runs the reported counts included
+    # neighbors that round peeled — wrong even within the returned
+    # subgraph. Same final-recompute discipline as k_truss's support.
+    # Converged runs are unchanged (nothing peeled ⇒ same degrees).
+    final_edges = (
+        e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    )
+    result = ck.checkpoint(
+        final_edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
     ck.release_all_except(result)
     e.unpersist(False)
     return result
@@ -451,7 +487,8 @@ def common_neighbors(
 
 
 def _oriented_triangles(
-    edges: DataFrame, src: str, dst: str
+    edges: DataFrame, src: str, dst: str,
+    ck=None, assume_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared degree-ordered triangle enumeration (Suri & Vassilvitskii,
     "Counting Triangles and the Curse of the Last Reducer", WWW'11):
@@ -468,6 +505,20 @@ def _oriented_triangles(
 
     Returns ``(deg, triangles)``: per-node degrees over the canonical
     undirected edge set, and one (u, x, y) row per triangle.
+
+    ``ck``: pass a caller-owned :class:`TrackedCheckpoints` so the
+    internal eager checkpoints register with IT — an iterative caller
+    (k_truss) then releases them once its per-round result materializes,
+    instead of leaking ~an edge-table copy per round into a discarded
+    tracker until session end. With the default (own tracker), a one-shot
+    caller's internals live until the session drops them — the same
+    lifetime its own result has.
+
+    ``assume_canonical``: skip the least/greatest + self-loop + distinct
+    canonicalization (and its checkpoint) when the input is ALREADY a
+    materialized canonical (a < b) edge list — k_truss re-enumerates on
+    its checkpointed round state every round, and re-canonicalizing it
+    paid a provably redundant edge-wide dedup shuffle per round.
     """
     from waka_spark.plans.iterate import TrackedCheckpoints
 
@@ -476,15 +527,19 @@ def _oriented_triangles(
     # ONE action, which with a lazy persist race to populate the cold
     # cache and recompute the upstream edge build per branch (see
     # random_walks)
-    ck = TrackedCheckpoints(edges.sparkSession)
-    canon = ck.checkpoint(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if ck is None:
+        ck = TrackedCheckpoints(edges.sparkSession)
+    if assume_canonical:
+        canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        canon = ck.checkpoint(
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionByName(canon.select(F.col("b").alias("node")))
@@ -727,6 +782,15 @@ def modularity(
     shuffle), then two community-keyed hash-aggs and a single-row fold;
     nothing quadratic, no windows. Output: one row (n_communities,
     m_edges, modularity).
+    
+    CONTRACT: ``labels`` must cover every node appearing in ``edges`` —
+    the community attachment is an inner join, so edges touching an
+    unlabeled node silently leave the computation (m, degree mass and
+    within-community mass all shrink) and Q is reported for the COVERED
+    subgraph. Run label_propagation on the same edge list (it labels
+    every node) or left-anti-check coverage first when labels come from
+    a pruned/partial assignment.
+
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     la = labels.select(
@@ -964,8 +1028,14 @@ def k_truss(
         .distinct()
     )
 
-    def edge_support(e: DataFrame) -> DataFrame:
-        _, tris = _oriented_triangles(e, "a", "b")
+    def edge_support(e: DataFrame, sub=None) -> DataFrame:
+        # sub: per-round tracker — the enumeration's internal checkpoint
+        # registers there so the loop can free it once the round's
+        # support table is materialized (it leaked per-round before);
+        # assume_canonical: e is the checkpointed canonical round state,
+        # re-canonicalizing it was a redundant dedup shuffle per round
+        _, tris = _oriented_triangles(
+            e, "a", "b", ck=sub, assume_canonical=True)
         corners = (
             tris.select(F.least("u", "x").alias("a"),
                         F.greatest("u", "x").alias("b"))
@@ -987,7 +1057,9 @@ def k_truss(
     n_edges = canon.count()
     converged_supp = None
     for _ in range(n_iter):
-        supp = ck.checkpoint(edge_support(canon))
+        sub = TrackedCheckpoints(edges.sparkSession)
+        supp = ck.checkpoint(edge_support(canon, sub))
+        sub.release_all_except()  # enumeration internals now dead
         new_canon = ck.checkpoint(
             canon.join(supp, ["a", "b"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
@@ -1003,9 +1075,12 @@ def k_truss(
         canon = new_canon
         n_edges = n_new
 
+    # non-converged: the final enumeration is consumed lazily by the
+    # returned frame, so its (single) internal checkpoint lives until
+    # the caller's action completes — one frame, not one per round
     final_supp = (
         converged_supp if converged_supp is not None
-        else edge_support(canon)
+        else edge_support(canon, ck)
     )
     final = canon.join(final_supp, ["a", "b"], "left").select(
         F.col("a").alias("node_a"), F.col("b").alias("node_b"),
@@ -1139,17 +1214,28 @@ def degree_assortativity(
         sym.join(deg.withColumnsRenamed({"node": "a", "d": "dx"}), "a")
         .join(deg.withColumnsRenamed({"node": "b", "d": "dy"}), "b")
     )
+    # per-row products stay long (dx*dy caps at max_degree^2 < 2^63 for
+    # any graph whose degrees fit an int); the SUMS and the closed-form
+    # CROSS-products are decimal(38,0) — n*sxy on a Zipf graph with 1e6-
+    # degree hubs exceeds Long.MAX by orders of magnitude, which under
+    # default ANSI mode kills the job (ARITHMETIC_OVERFLOW) and with ANSI
+    # off silently wraps. 128-bit decimal keeps the arithmetic EXACT
+    # (matching the oracle's hugeint) to ~1e38, far past 10^12-edge scale.
+    dec = "decimal(38,0)"
     sums = pairs.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dx").cast("long").alias("sx"),
-        F.sum("dy").cast("long").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("dx").cast(dec).alias("sx"),
+        F.sum("dy").cast(dec).alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast(dec).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast(dec).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast(dec).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double")
     return sums.select(
         (F.col("n") / 2).cast("long").alias("n_edges"),
         F.round(

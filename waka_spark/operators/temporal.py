@@ -43,8 +43,17 @@ from pyspark.sql import functions as F
 def epoch_us(ts: Column) -> Column:
     """Microseconds since epoch for TIMESTAMP or TIMESTAMP_NTZ columns
     (``unix_micros`` rejects NTZ; the cast interprets NTZ in the session
-    zone — a constant shift that cancels in every difference/bucket use
-    here)."""
+    zone).
+
+    CONTRACT: the session zone must be FIXED-OFFSET (UTC — which
+    ``waka_spark.session.get_spark`` pins) for the NTZ cast's shift to
+    be constant. Under a DST zone (e.g. a foreign session setting
+    America/New_York) the offset changes by an hour mid-stream at
+    transitions, which would corrupt gaps/buckets for NTZ rows
+    straddling them — spuriously splitting sessions at fall-back and
+    collapsing window membership at spring-forward. TZ-aware TIMESTAMP
+    columns are unaffected (their instant is zone-independent).
+    """
     return F.unix_micros(ts.cast("timestamp"))
 
 
