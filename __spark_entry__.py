@@ -4939,7 +4939,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(ws) AS INT) AS n_words,
                      len(list_filter(ws, x -> list_contains({EN_STOP_SQL}, x)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio,
-                     len(regexp_extract_all(text, '[^\\w\\s]'))
+                     len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
                        / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
                      list_sum(list_transform(ws, x -> length(x)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS mean_word_len
@@ -5321,7 +5321,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pack": """
             WITH toks AS (
               SELECT doc_id,
-                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> x <> '')) AS BIGINT)
                        AS n_tokens,
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                           AS INT) % 64 AS bucket
@@ -5544,8 +5545,9 @@ def oracle_sql() -> dict[str, str]:
             WITH per AS (
               SELECT lang AS domain,
                      CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(len(list_filter(string_split(text, ' '),
-                                              x -> x <> ''))) AS BIGINT)
+                     CAST(sum(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> ''))) AS BIGINT)
                        AS n_tokens
               FROM documents GROUP BY 1
             ),
@@ -6219,7 +6221,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bc GROUP BY 1),
             punct AS (
               SELECT doc_id,
-                     round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     round(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]'))
                            / CAST(greatest(length(text), 1) AS DOUBLE), 6)
                        AS punct_ratio
               FROM kept),
@@ -6246,7 +6248,8 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) / 4294967296.0 < 0.9),
             toks AS (
               SELECT doc_id,
-                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          x -> x <> '')) AS BIGINT)
                        AS n_tokens,
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                           AS INT) % 64 AS bucket
@@ -6322,7 +6325,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             punct AS (
               SELECT doc_id,
-                     round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     round(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]'))
                            / CAST(greatest(length(text), 1) AS DOUBLE), 6)
                        AS punct_ratio
               FROM documents
@@ -7052,7 +7055,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(ws) AS INT) AS n_words,
                      len(list_filter(ws, x -> list_contains({EN_STOP_SQL}, x)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio,
-                     len(regexp_extract_all(text, '[^\\w\\s]'))
+                     len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
                        / CAST(greatest(length(text), 1) AS DOUBLE)
                        AS punct_ratio
               FROM w
@@ -7100,7 +7103,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(ws) AS INT) AS n_words,
                      len(list_filter(ws, x -> list_contains({EN_STOP_SQL}, x)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio,
-                     len(regexp_extract_all(text, '[^\\w\\s]'))
+                     len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
                        / CAST(greatest(length(text), 1) AS DOUBLE)
                        AS punct_ratio
               FROM w
@@ -8851,7 +8854,7 @@ supp3 AS MATERIALIZED (
                         'their', 'if'], x)))
                        / CAST(greatest(len(ws), 1) AS DOUBLE)
                        AS stop_ratio,
-                     len(regexp_extract_all(text, '[^\w\s]'))
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))
                        / CAST(greatest(length(text), 1) AS DOUBLE)
                        AS punct_ratio
               FROM w

@@ -409,3 +409,59 @@ def test_mixture_plan_rates_and_epochs(spark):
     # de under-supplied: rate caps at 1.0, epochs = 2.0 repeats
     assert (de["n_tokens"], de["target_tokens"]) == (2, 4)
     assert de["sampling_rate"] == 1.0 and de["n_epochs"] == 2.0
+
+
+def test_expectations_null_is_violation(spark):
+    """Round-3 (review): a NULL rule result counts as a VIOLATION
+    (dbt/GE semantics), not a silent pass."""
+    from waka_spark.operators.curation import quality_expectations
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 2.0)], "doc_id long, score double")
+    got = {r["rule"]: r for r in quality_expectations(
+        df, [("score_lt_1", F.col("score") < 1.0)]).collect()}
+    r = got["score_lt_1"]
+    # rows 2 (NULL) and 3 (2.0) violate
+    assert (r["n_rows"], r["n_violations"], r["passed"]) == (3, 2, False)
+
+
+def test_filter_verdict_unicode_text_not_punct(spark):
+    """Round-3 (review): non-Latin letters are NOT punctuation — a clean
+    CJK/Cyrillic doc must not be dropped by the punctuation gate."""
+    from waka_spark.operators.curation import filter_verdict
+
+    df = spark.createDataFrame(
+        [(1, "这 是 一 段 完全 正常 的 中文 文本 没有 标点 问题 " * 5),
+         (2, "Это обычный русский текст без лишней пунктуации " * 5)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in filter_verdict(df).collect()}
+    assert got[1]["bad_punct"] == 0 and got[2]["bad_punct"] == 0
+
+
+def test_pack_sequences_empty_doc_zero_tokens(spark):
+    from waka_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   ")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(df).collect()}
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_score_auc_ignores_null_labels(spark):
+    from waka_spark.operators.curation import score_auc
+
+    labeled = spark.createDataFrame(
+        [(0.9, True), (0.1, False), (0.5, None)],
+        "score double, label boolean")
+    r = score_auc(labeled).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1, 1)
+    assert r["auc"] == 1.0
+
+
+def test_word_ngrams_short_doc_has_no_bigrams(spark):
+    from waka_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    # one word: no bigrams; dup_bigram_frac coalesces to 0
+    assert r["dup_bigram_frac"] == 0.0

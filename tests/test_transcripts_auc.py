@@ -334,3 +334,27 @@ def test_sft_examples_pairs_each_assistant_with_last_user(spark):
     assert got[("c1", 3)]["prompt_turn"] == 0
     assert got[("c1", 5)]["prompt_text"] == "q2"
     assert got[("c2", 0)]["prompt_text"] is None
+
+
+def test_structure_check_null_text_is_empty_turn(spark):
+    from waka_spark.operators.transcripts import structure_check
+
+    t = spark.createDataFrame(
+        [("c", 0, "user", "hi"), ("c", 1, "assistant", None)],
+        "conv_id string, turn_idx int, role string, text string")
+    r = structure_check(t).collect()[0]
+    assert r["n_empty_turns"] == 1 and not r["valid"]
+
+
+def test_exact_dups_null_turn_distinguishes_conversations(spark):
+    """Round-3 (review): a NULL-text turn no longer vanishes from the
+    conversation hash — ['hi','x'] and ['hi', NULL, 'x'] are distinct."""
+    from waka_spark.operators.transcripts import conv_exact_dups
+
+    t = spark.createDataFrame(
+        [("a", 0, "hi"), ("a", 1, "x"),
+         ("b", 0, "hi"), ("b", 1, None), ("b", 2, "x")],
+        "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: r for r in conv_exact_dups(t).collect()}
+    assert got["a"]["conv_hash"] != got["b"]["conv_hash"]
+    assert got["a"]["group_size"] == 1 and got["b"]["group_size"] == 1

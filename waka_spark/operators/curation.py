@@ -72,13 +72,18 @@ def word_ngrams(text: Column, n: int) -> Column:
     """Sliding n-gram word shingles WITH duplicates (array<string>) —
     repetition statistics need multiplicity, unlike dedup.word_shingles."""
     words = F.split(normalize_text(text), " ")
-    return F.filter(
+    # docs shorter than n words have ZERO n-grams — the old
+    # greatest(size-n, 0) floor emitted one TRUNCATED gram (a unigram
+    # masquerading as a bigram), biasing repetition/DSIR features for
+    # short docs (round-3 review fix)
+    grams = F.when(
+        F.size(words) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            F.sequence(F.lit(0), F.size(words) - n),
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         ),
-        lambda s: s != "",
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    return F.filter(grams, lambda s: s != "")
 
 
 def repetition_stats(
@@ -286,8 +291,13 @@ def filter_verdict(
     on doc_id. Output: per-gate flags (1 = violated) + ``keep``.
     """
     text = F.col(text_col)
+    # Unicode-aware: \w is ASCII-only in both Java regex and the
+    # oracle's RE2, so [^\w\s] branded every CJK/Cyrillic/accented
+    # character as punctuation and dropped non-Latin documents wholesale
+    # (round-3 review fix). \p{L}\p{N} match letters/digits in ANY
+    # script in both engines.
     punct_ratio = F.size(
-        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)
+        F.regexp_extract_all(text, F.lit(r"[^\p{L}\p{N}_\s]"), 0)
     ) / F.greatest(F.length(text), F.lit(1))
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -446,8 +456,10 @@ def pack_sequences(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
-        .alias("n_tokens"),
+        F.size(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+        ).cast("long").alias("n_tokens"),
         (
             F.conv(
                 F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
@@ -751,6 +763,9 @@ def score_auc(
 
     Output: one row (n_pos, n_neg, auc).
     """
+    # rows with NULL label carry no ground truth: exclude them instead
+    # of silently counting them as negatives (round-3 review fix)
+    scored = scored.filter(F.col(label_col).isNotNull())
     by_score = (
         scored.groupBy(F.col(score_col).alias("s"))
         .agg(
@@ -872,8 +887,13 @@ def quality_expectations(
     """
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, (_, cond) in enumerate(rules):
+        # a NULL rule result is a VIOLATION (dbt / Great Expectations
+        # semantics): `score < 1.0` on a NULL score must not silently
+        # pass the gate — count a row as passing only when the condition
+        # is definitively true (round-3 review fix)
         aggs.append(
-            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(f"_v{i}"))
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+            .cast("long").alias(f"_v{i}"))
     one = df.agg(*aggs)
     rows = F.array(*[
         F.struct(
@@ -988,8 +1008,12 @@ def mixture_plan(
     Output: (domain, n_docs, n_tokens, weight, target_tokens,
     sampling_rate, n_epochs), ordered keys; rates round-6.
     """
+    # split on \s+ after trim, matching pack_sequences' accounting —
+    # splitting on a literal space undercounted newline/tab-separated
+    # tokens, inflating epochs vs what the packer actually packs
     toks = F.size(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda w: w != ""))
     per = (
         df.groupBy(F.col(domain_col).alias("domain"))
         .agg(

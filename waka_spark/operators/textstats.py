@@ -54,7 +54,10 @@ def quality_scores(
         F.filter(words, lambda w: w.isin(EN_STOPWORDS))
     ) / F.greatest(n_words, F.lit(1))
     punct_ratio = F.size(
-        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)
+        # Unicode classes (\p{L}\p{N}): ASCII-only \w branded every
+        # non-Latin character as punctuation (round-3 review fix; RE2
+        # oracle agrees on \p classes)
+        F.regexp_extract_all(text, F.lit(r"[^\p{L}\p{N}_\s]"), 0)
     ) / F.greatest(F.length(text), F.lit(1))
     mean_word_len = (
         F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))

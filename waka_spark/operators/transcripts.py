@@ -166,7 +166,11 @@ def _with_prefix_state(
             F.col(conv_col).alias("conv_id"),
             F.col(turn_col).alias("turn_idx"),
             F.col(role_col).alias("role"),
-            F.md5(norm).alias("turn_hash"),
+            # coalesce: collect_list SKIPS NULL elements, so a NULL-text
+            # turn vanished from the prefix chain and ['a', NULL] /
+            # [NULL, 'a'] collided at the same (turn_idx, prefix_hash)
+            # (round-3 review fix; sentinel can't collide with real md5)
+            F.coalesce(F.md5(norm), F.lit("null")).alias("turn_hash"),
             norm.alias("norm_text"),
         )
         .withColumn(
@@ -270,8 +274,12 @@ def structure_check(
     """Per-conversation structural validation — the transcript analog of
     a schema/expectations gate, run before any turn-level op trusts the
     (conv_id, turn_idx, role) spine: does the conversation start with a
-    user turn, end with an assistant turn, have contiguous turn indices,
-    no adjacent same-role turns, no empty turns?
+    user turn, have contiguous turn indices, no adjacent same-role turns,
+    no empty turns? ``ends_with_assistant`` is REPORTED but deliberately
+    NOT folded into ``valid``: an in-flight conversation legitimately
+    ends on a user/tool turn — callers that require a closed exchange
+    (e.g. SFT extraction, which mines user→assistant pairs and is
+    unaffected by a dangling tail) filter on the column explicitly.
 
     One ``lag`` window + one hash agg on the SAME conv_id key — Spark
     reuses the window's exchange for the agg, so the corpus shuffles
@@ -293,7 +301,11 @@ def structure_check(
             F.when(F.col("_prev_role") == F.col(role_col), 1).otherwise(0)
         ).cast("long").alias("n_role_repeats"),
         F.sum(
-            F.when(_norm_text(text_col) == "", 1).otherwise(0)
+            # NULL text IS an empty turn: `NULL == ""` is NULL and fell
+            # into otherwise(0), letting NULL-text conversations pass the
+            # empty-turn gate straight into SFT rows (round-3 review fix)
+            F.when(F.coalesce(_norm_text(text_col), F.lit("")) == "", 1)
+            .otherwise(0)
         ).cast("long").alias("n_empty_turns"),
     )
     return agg.withColumn(
@@ -371,7 +383,12 @@ def conv_exact_dups(
         F.col(conv_col).alias("conv_id"),
         F.struct(
             F.col(turn_col).cast("int").alias("turn_idx"),
-            F.md5(_norm_text(text_col)).alias("h"),
+            # coalesce: md5(NULL) is NULL and concat_ws SKIPS NULL array
+            # elements, so a NULL-text turn silently vanished from the
+            # conversation hash and distinct conversations collided
+            # (round-3 review fix; "null" is not a valid md5 hex, so the
+            # sentinel cannot collide with a real hash)
+            F.coalesce(F.md5(_norm_text(text_col)), F.lit("null")).alias("h"),
         ).alias("_th"),
     )
     conv = per_turn.groupBy("conv_id").agg(
