@@ -3373,8 +3373,9 @@ def q_curation_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture_plan): per-domain token availability vs DoReMi-style target
     weights under a 20k-token budget — sampling rates for over-supplied
     domains, epoch counts for under-supplied ones ('xx' targets a domain
-    absent from the corpus and is excluded by the weight join). One
-    domain-keyed hash agg + broadcast weight literal."""
+    absent from the corpus and surfaces as a (0 docs, 0 tokens, NULL
+    rates) supply-gap row). One domain-keyed hash agg + a
+    domain-count-sized plan join."""
     from waka_spark.operators.curation import mixture_plan
 
     return mixture_plan(
@@ -4335,7 +4336,9 @@ def _kcore_sql(k: int = 3, n_iter: int = 5) -> str:
   GROUP BY e.src HAVING count(*) >= {k}
 ), a{i} AS (SELECT node FROM d{i})""")
     # final degrees over the FINAL survivor set (mirrors the operator's
-    # round-3 final recompute — identical on converged runs)
+    # round-3 final recompute — identical on converged runs); round-4:
+    # LEFT join back onto the survivor set so a zero-degree survivor of
+    # a non-converged run is reported with degree 0, not dropped
     ctes.append(f"""dfin AS (
   SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
   FROM g_edges e
@@ -4345,7 +4348,9 @@ def _kcore_sql(k: int = 3, n_iter: int = 5) -> str:
 )""")
     return (
         f"WITH {_SIMHASH_GRAPH_CTES}, {', '.join(ctes)} "
-        f"SELECT node AS doc_id, degree FROM dfin"
+        f"SELECT a.node AS doc_id, "
+        f"CAST(coalesce(degree, 0) AS BIGINT) AS degree "
+        f"FROM a{n_iter} a LEFT JOIN dfin ON a.node = dfin.node"
     )
 
 
@@ -5554,13 +5559,18 @@ def oracle_sql() -> dict[str, str]:
             w(domain, weight) AS (VALUES
               ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
               ('xx', CAST(0.1 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)))
-            SELECT per.domain, n_docs, n_tokens, weight,
+            SELECT w.domain,
+                   coalesce(n_docs, 0) AS n_docs,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   weight,
                    CAST(round(20000 * weight) AS BIGINT) AS target_tokens,
-                   round(least(1.0, round(20000 * weight) / CAST(n_tokens AS DOUBLE)), 6)
-                     AS sampling_rate,
-                   round(round(20000 * weight) / CAST(n_tokens AS DOUBLE), 6)
-                     AS n_epochs
-            FROM per JOIN w ON per.domain = w.domain
+                   CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+                     round(least(1.0, round(20000 * weight) / CAST(n_tokens AS DOUBLE)), 6)
+                   END AS sampling_rate,
+                   CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+                     round(round(20000 * weight) / CAST(n_tokens AS DOUBLE), 6)
+                   END AS n_epochs
+            FROM w LEFT JOIN per ON per.domain = w.domain
         """,
         "kg_nodes_merge": f"""
             WITH {_ASSEMBLY_CTE},
@@ -8008,7 +8018,8 @@ def oracle_sql() -> dict[str, str]:
             tok AS (
               SELECT conv_id, turn_idx,
                      regexp_replace(lower(trim(u.w)),
-                       '^[^\w]+|[^\w]+$', '', 'g') AS wk
+                       '^[^\p{{L}}\p{{N}}_]+|[^\p{{L}}\p{{N}}_]+$',
+                       '', 'g') AS wk
               FROM t, unnest(string_split(text, ' ')) AS u(w)
             ),
             m AS (

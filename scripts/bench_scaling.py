@@ -21,6 +21,10 @@ Methodology notes (all measured, see BENCH.md):
 
 Usage:
     python scripts/bench_scaling.py [--n-convs N] [--repeats K] [--out BENCH.md]
+    python scripts/bench_scaling.py --pairs 6 --pairs-out /tmp/pairs.json
+        # round-4 committed estimator: median of same-window pair
+        # efficiencies (see run_pairs); add more pairs later with
+        # --skip-gen to resume the campaign
     python scripts/bench_scaling.py --worker --cpus 8 --input DIR   # internal
 """
 
@@ -49,12 +53,21 @@ def generate(input_dir: str, n_convs: int) -> int:
         spark, kb, n_convs=n_convs, hot_every=100, hot_turns=400, base_turns=30
     )
     t.repartition(64).write.mode("overwrite").parquet(f"{input_dir}/transcripts")
+    # small same-shape slice for in-JVM JIT/worker warmup (pairs mode):
+    # exercises every codegen/Arrow path before the timed full-corpus run
+    w = synth.synth_transcripts(
+        spark, kb, n_convs=max(n_convs // 25, 200), hot_every=100,
+        hot_turns=400, base_turns=30,
+    )
+    w.repartition(16).write.mode("overwrite").parquet(f"{input_dir}/warmup")
     n = spark.read.parquet(f"{input_dir}/transcripts").count()
     spark.stop()
     return n
 
 
-def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
+def worker(
+    cpus: int, input_dir: str, in_jvm_runs: int = 2, warmup: bool = False
+) -> None:
     from waka_spark import synth
     from waka_spark.plans.pipeline import KGPipeline
     from waka_spark.session import get_spark
@@ -84,6 +97,22 @@ def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
     transcripts = spark.read.parquet(f"{input_dir}/transcripts")
     n_turns = transcripts.count()  # warm parquet footers; not timed
 
+    if warmup:
+        # untimed steady-state warmup on the small same-shape slice: pays
+        # JIT compilation + Python-worker spin-up inside this JVM so a
+        # SINGLE timed full-corpus run measures steady-state throughput
+        # (pairs mode trades best-of-2 for shorter same-window pairs)
+        wt = spark.read.parquet(f"{input_dir}/warmup")
+        wout = pipe.run(wt, resolve=True, cut_lineage="smart")
+        wout["triples"].count()
+        wout["final_entities"].count()
+        for df in wout.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
     best = None
     n_triples = n_entities = 0
     for _ in range(in_jvm_runs):
@@ -110,9 +139,18 @@ def worker(cpus: int, input_dir: str, in_jvm_runs: int = 2) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, input_dir: str, bind_cores: bool = False) -> dict:
+def run_level(
+    cpus: int,
+    input_dir: str,
+    bind_cores: bool = False,
+    in_jvm_runs: int = 2,
+    warmup: bool = False,
+) -> dict:
     cmd = [sys.executable, __file__, "--worker",
-           "--cpus", str(cpus), "--input", input_dir]
+           "--cpus", str(cpus), "--input", input_dir,
+           "--in-jvm-runs", str(in_jvm_runs)]
+    if warmup:
+        cmd.append("--warmup")
     if bind_cores:
         # Faithful N-core-node emulation: bound the ENTIRE worker process
         # (task slots + JVM GC/JIT pools + Python workers) to exactly N
@@ -136,6 +174,72 @@ def run_level(cpus: int, input_dir: str, bind_cores: bool = False) -> dict:
     return json.loads(line)
 
 
+def run_pairs(args) -> None:
+    """Round-4 committed estimator: the MEDIAN of same-window pair
+    efficiencies.
+
+    A pair = local[N] and local[4N] measured back-to-back in adjacent
+    windows (order alternating across pairs to cancel monotone host
+    drift); its efficiency = thr_hi / (4 * thr_lo) computed from THAT
+    pair's two runs only — never from floors harvested across different
+    windows. The median over K pairs is robust to this sandbox's
+    asymmetric host-noise windows (documented 1.57-2.7x same-plan
+    spread): a noise storm that lands inside one pair corrupts one
+    sample, not the headline. Per level: an untimed warmup-slice run
+    pays JIT + Python-worker spin-up inside the JVM, then ONE timed
+    full-corpus run — each pair's wall window is ~2x shorter than the
+    best-of-2 methodology, so fewer storms land inside a pair at all.
+
+    Results append to --pairs-out after every pair (a killed campaign
+    keeps its data; rerun with --skip-gen to add pairs). BENCH.md is
+    hand-curated and never written by this mode.
+    """
+    import statistics
+
+    lo, hi = LEVELS
+    factor = hi // lo
+    out_path = Path(args.pairs_out)
+    state: dict = {"n_convs": args.n_convs, "levels": list(LEVELS),
+                   "pairs": []}
+    if out_path.exists() and args.skip_gen:
+        state = json.loads(out_path.read_text())
+    k0 = len(state["pairs"])
+
+    for k in range(k0, k0 + args.pairs):
+        order = (lo, hi) if k % 2 == 0 else (hi, lo)
+        res = {}
+        for cpus in order:
+            r = run_level(cpus, args.input, in_jvm_runs=1, warmup=True)
+            res[cpus] = r
+            print(f"pair{k} {json.dumps(r)}", file=sys.stderr)
+        eff = round(
+            res[hi]["turns_per_sec"] / (factor * res[lo]["turns_per_sec"]), 3)
+        state["pairs"].append({
+            "pair": k,
+            "order": [f"local[{c}]" for c in order],
+            f"local{lo}": res[lo],
+            f"local{hi}": res[hi],
+            "efficiency": eff,
+            "output_identity": res[lo]["n_triples"] == res[hi]["n_triples"],
+        })
+        effs = sorted(p["efficiency"] for p in state["pairs"])
+        state["median_pair_efficiency"] = round(statistics.median(effs), 3)
+        state["pair_efficiencies"] = effs
+        out_path.write_text(json.dumps(state, indent=1))
+        print(f"pair{k} efficiency={eff} "
+              f"median_so_far={state['median_pair_efficiency']}",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "estimator": "median of same-window pair efficiencies",
+        "n_pairs": len(state["pairs"]),
+        "pair_efficiencies": state["pair_efficiencies"],
+        "median_pair_efficiency": state["median_pair_efficiency"],
+        "output_identity_all_pairs": all(
+            p["output_identity"] for p in state["pairs"]),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -143,6 +247,21 @@ def main() -> None:
     ap.add_argument("--input", default=DEFAULT_INPUT)
     ap.add_argument("--n-convs", type=int, default=200000)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--in-jvm-runs", type=int, default=2)
+    ap.add_argument("--warmup", action="store_true")
+    ap.add_argument(
+        "--pairs", type=int, default=0,
+        help="PAIRS mode (round-4 committed estimator): run K same-window "
+             "pairs — each pair measures local[N] and local[4N] "
+             "back-to-back (order alternating per pair to cancel drift), "
+             "with an untimed in-JVM warmup + ONE timed run per level — "
+             "and report the MEDIAN of the per-pair efficiencies. "
+             "Writes JSON to --pairs-out; never touches BENCH.md.",
+    )
+    ap.add_argument("--pairs-out", default="/tmp/scaling_pairs.json")
+    ap.add_argument(
+        "--skip-gen", action="store_true",
+        help="reuse an existing --input corpus (resume a pairs campaign)")
     ap.add_argument(
         "--bind-cores", action="store_true",
         help="taskset each level's whole process to exactly N cores "
@@ -152,12 +271,21 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.input)
+        worker(args.cpus, args.input, in_jvm_runs=args.in_jvm_runs,
+               warmup=args.warmup)
         return
 
-    print(f"generating {args.n_convs} conversations ...", file=sys.stderr)
-    n_turns = generate(args.input, args.n_convs)
-    print(f"generated {n_turns} turns", file=sys.stderr)
+    if args.skip_gen:
+        n_turns = 0  # filled from the first worker result below
+        print(f"reusing corpus at {args.input}", file=sys.stderr)
+    else:
+        print(f"generating {args.n_convs} conversations ...", file=sys.stderr)
+        n_turns = generate(args.input, args.n_convs)
+        print(f"generated {n_turns} turns", file=sys.stderr)
+
+    if args.pairs:
+        run_pairs(args)
+        return
 
     best: dict[int, dict] = {}
     for rep in range(args.repeats):

@@ -401,8 +401,13 @@ def test_mixture_plan_rates_and_epochs(spark):
     got = {r["domain"]: r for r in mixture_plan(
         docs, weights={"en": 0.5, "de": 0.5, "xx": 0.0},
         token_budget=8, domain_col="lang").collect()}
-    # zz has no target weight -> excluded; xx has no corpus rows -> absent
-    assert set(got) == {"en", "de"}
+    # zz has no target weight -> excluded; xx has no corpus rows -> kept
+    # as an explicit supply-gap row (round-4: a launch plan must alarm on
+    # a missing domain, not drop it)
+    assert set(got) == {"en", "de", "xx"}
+    xx = got["xx"]
+    assert (xx["n_docs"], xx["n_tokens"], xx["target_tokens"]) == (0, 0, 0)
+    assert xx["sampling_rate"] is None and xx["n_epochs"] is None
     en, de = got["en"], got["de"]
     assert (en["n_docs"], en["n_tokens"], en["target_tokens"]) == (2, 10, 4)
     assert en["sampling_rate"] == 0.4 and en["n_epochs"] == 0.4

@@ -47,25 +47,39 @@ def test_kg_service_http_roundtrip(spark):
 def test_service_releases_only_its_own_rdds(spark):
     """Round-3 (ADVICE): per-request cleanup unpersists only the RDDs the
     request's pipeline run pinned — a bystander persisted frame in the
-    shared session survives (the old clearCache() nuked it)."""
+    shared session survives (the old clearCache() nuked it).
+
+    Deflaked round 4 (VERDICT #5): the old whole-set `after == before`
+    assertion raced Spark's async ContextCleaner, which GC-unpersists
+    EARLIER tests' dead caches between the two snapshots under full-suite
+    load. Assert the two things the test actually means: (a) the
+    bystander's RDD id is still persisted, (b) the request's own pins are
+    gone (no NEW ids survive the request)."""
     from waka_spark.plans.pipeline import bauhaus_pipeline
     from waka_spark.serve import KGService
-
-    bystander = spark.range(100).persist()
-    bystander.count()  # materialize the cache
 
     def persistent_ids():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in jmap.keySet().toArray()}
 
+    pre = persistent_ids()
+    bystander = spark.range(100).persist()
+    bystander.count()  # materialize the cache
     before = persistent_ids()
-    assert before  # the bystander's cached RDD is registered
+    bystander_ids = before - pre  # the cache block(s) the persist added
+    assert bystander_ids
     svc = KGService(spark, bauhaus_pipeline(spark))
     svc.construct("Walter Gropius founded the Bauhaus.")
     after = persistent_ids()
-    # the bystander survives untouched; the run's own pins are gone
-    assert after == before
+    # the bystander survives untouched (it is strongly referenced here,
+    # so ContextCleaner cannot collect it) ...
+    assert bystander_ids <= after
     assert bystander.storageLevel.useMemory
+    # ... and none of the request's own pins leaked: no id created by
+    # the request survives it (pre-existing ids may vanish mid-test via
+    # ContextCleaner's async GC of earlier tests' dead caches — that is
+    # not the service's doing and is not asserted on)
+    assert not (after - before)
     bystander.unpersist()
 
 

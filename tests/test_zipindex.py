@@ -75,3 +75,40 @@ def test_pin_scope_releases_only_scope_pins(spark):
     assert not inside.storageLevel.useMemory  # released on exit
     assert outside.storageLevel.useMemory     # untouched
     outside.unpersist()
+
+
+def test_global_order_stats_releases_in_pin_scope(spark):
+    """Round-4 (ADVICE): the load-bearing repartitionByRange persist is
+    routed through pins.pin(), so a pin_scope caller (serve endpoint,
+    per-request work) releases the cache block AND its CacheManager
+    entry on scope exit instead of leaking one per call."""
+    from waka_spark.plans.pins import pin_scope
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before_empty = cm.isEmpty()
+    df = spark.createDataFrame([(i,) for i in range(30)], "k int")
+    with pin_scope() as frames:
+        got = with_global_order_stats(df, [F.col("k")], rank_col="rank")
+        assert got.count() == 30          # consume inside the scope
+        assert len(frames) == 1           # exactly the parts pin
+        assert frames[0].storageLevel.useMemory
+    assert not frames[0].storageLevel.useMemory
+    assert cm.isEmpty() == before_empty   # no CacheManager growth
+
+
+def test_negative_samples_releases_in_pin_scope(spark):
+    """Same for plans/incremental.negative_samples' dense-index pin."""
+    from waka_spark.plans.incremental import negative_samples
+    from waka_spark.plans.pins import pin_scope
+
+    triples = spark.createDataFrame(
+        [("c1", "a", "p", "b"), ("c1", "b", "p", "c"), ("c2", "c", "p", "d")],
+        "conv_id string, subj_url string, pred_url string, obj_url string",
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before_empty = cm.isEmpty()
+    with pin_scope() as frames:
+        assert negative_samples(triples, k=2).count() > 0
+        assert frames and all(f.storageLevel.useMemory for f in frames)
+    assert all(not f.storageLevel.useMemory for f in frames)
+    assert cm.isEmpty() == before_empty

@@ -1001,12 +1001,16 @@ def mixture_plan(
     keeps below ~4 before quality degrades, Muennighoff et al. 2023).
 
     Scale shape: ONE domain-keyed hash agg over in-row token counts
-    (map-side partials) + a broadcast join against the literal weight
-    table. Domains outside the target mix are excluded by the inner
-    join — they get no budget share.
+    (map-side partials); the plan-table join afterwards is
+    domain-count-sized (tens of rows) on both sides. Domains outside the
+    target mix are excluded — they get no budget share. Target domains
+    ABSENT from the corpus are PRESERVED as (0 docs, 0 tokens,
+    NULL rates) rows: a launch-plan table must alarm on a supply gap,
+    not silently drop the domain (the round-3 inner join did).
 
     Output: (domain, n_docs, n_tokens, weight, target_tokens,
-    sampling_rate, n_epochs), ordered keys; rates round-6.
+    sampling_rate, n_epochs), ordered keys; rates round-6; NULL rates
+    flag an unsatisfiable target.
     """
     # split on \s+ after trim, matching pack_sequences' accounting —
     # splitting on a literal space undercounted newline/tab-separated
@@ -1025,15 +1029,28 @@ def mixture_plan(
     wdf = spark.createDataFrame(
         sorted(weights.items()), "domain string, weight double")
     target = F.round(F.lit(float(token_budget)) * F.col("weight"))
+    # left join FROM the weight table so every target domain appears even
+    # with zero supply; availability nulls → explicit zeros. Spark's
+    # least() skips NULLs (least(1.0, NULL) = 1.0), so the rate columns
+    # are gated on supply explicitly rather than left to try_divide.
     return (
-        per.join(F.broadcast(wdf), "domain")
+        wdf.join(per, "domain", "left")
         .select(
-            "domain", "n_docs", "n_tokens", "weight",
+            "domain",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "weight",
             target.cast("long").alias("target_tokens"),
-            F.round(
-                F.least(F.lit(1.0), F.try_divide(target, F.col("n_tokens"))),
-                6).alias("sampling_rate"),
-            F.round(F.try_divide(target, F.col("n_tokens")), 6)
-            .alias("n_epochs"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(
+                    F.least(F.lit(1.0),
+                            F.try_divide(target, F.col("n_tokens"))),
+                    6),
+            ).alias("sampling_rate"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(F.try_divide(target, F.col("n_tokens")), 6),
+            ).alias("n_epochs"),
         )
     )

@@ -742,6 +742,8 @@ def minhash_recall(
     text_col: str = "text",
     n: int = 3,
     n_bands: int = 8,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Measured recall of MinHash-LSH candidate generation against the
     exact Jaccard truth — the companion of :func:`jaccard_threshold_curve`
@@ -758,9 +760,23 @@ def minhash_recall(
     and the final comparison is one left join on the (tiny) true-pair set
     + a single-row aggregate.
 
+    SAMPLING CONTRACT: the truth side is the semantic cost of the
+    measurement — an exact-Jaccard shingle join over whatever corpus it
+    is given (the most expensive query in the sf0.1 bench). At
+    production scale recall is measured on a CORPUS SAMPLE, not the full
+    table: pass ``sample_fraction`` (e.g. 0.001 at 10^12 docs) and both
+    the truth and candidate sides are computed over the same
+    deterministic Bernoulli sample — recall is a per-pair probability,
+    so a uniform document sample gives an unbiased estimate with
+    ~1/sqrt(n_true_pairs_in_sample) relative error, at the sample's
+    quadratic cost instead of the corpus's. ``sample_fraction=None``
+    (tests, small corpora) measures exactly.
+
     Output: one row (threshold, n_true_pairs, n_caught, recall); recall
     is NULL when there are no true pairs (nothing to measure).
     """
+    if sample_fraction is not None:
+        df = df.sample(fraction=float(sample_fraction), seed=seed)
     truth = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
     ).select("doc_a", "doc_b")

@@ -410,9 +410,19 @@ def k_core(
         e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
         .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
     )
-    result = ck.checkpoint(
+    # left-join the recomputed degrees onto the survivor set (round-4,
+    # ADVICE): on NON-converged runs a survivor whose last-round
+    # neighbors were all peeled has zero surviving edges — a groupBy
+    # over final_edges alone silently dropped it from the output, i.e.
+    # the survivor set shrank beyond the documented semantics. Every
+    # surviving node is reported, zero-degree ones with degree 0.
+    final_deg = (
         final_edges.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("degree"))
+    )
+    result = ck.checkpoint(
+        alive.join(final_deg, "node", "left").select(
+            "node", F.coalesce("degree", F.lit(0)).alias("degree"))
     )
     ck.release_all_except(result)
     e.unpersist(False)
@@ -1215,20 +1225,24 @@ def degree_assortativity(
         .join(deg.withColumnsRenamed({"node": "b", "d": "dy"}), "b")
     )
     # per-row products stay long (dx*dy caps at max_degree^2 < 2^63 for
-    # any graph whose degrees fit an int); the SUMS and the closed-form
-    # CROSS-products are decimal(38,0) — n*sxy on a Zipf graph with 1e6-
-    # degree hubs exceeds Long.MAX by orders of magnitude, which under
-    # default ANSI mode kills the job (ARITHMETIC_OVERFLOW) and with ANSI
-    # off silently wraps. 128-bit decimal keeps the arithmetic EXACT
-    # (matching the oracle's hugeint) to ~1e38, far past 10^12-edge scale.
+    # any graph whose degrees fit an int); every SUM *accumulates* in
+    # decimal(38,0) — the cast sits on the summand, INSIDE the agg, so
+    # Spark's partial/merge buffers are 128-bit from the first row. A
+    # result-side cast (the round-3 bug) still accumulates in LongType:
+    # per-row dx*dy products up to ~1e12 summed over ~1e12 symmetrized
+    # rows blow past 2^63 inside the buffer — ANSI ARITHMETIC_OVERFLOW
+    # job-kill (or silent wrap with ANSI off) before any outer cast runs.
+    # Decimal keeps the arithmetic EXACT (matching the oracle's hugeint)
+    # to ~1e38, far past 10^12-edge Zipf-hub scale; the closed-form
+    # n*sxy cross-products below inherit the decimal type.
     dec = "decimal(38,0)"
     sums = pairs.agg(
         F.count("*").cast(dec).alias("n"),
-        F.sum("dx").cast(dec).alias("sx"),
-        F.sum("dy").cast(dec).alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast(dec).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast(dec).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast(dec).alias("syy"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double")

@@ -171,8 +171,14 @@ def mention_salience(
 
     Output: (conv_id, url, n_mentions, first_turn, n_turns, salience).
     """
+    # Unicode edge classes, NOT [^\w]: Java-regex \w is ASCII-only, so a
+    # fully non-Latin token ("москва", "東京") would match ^[^\w]+ whole,
+    # collapse to "" and be filtered — zero salience rows on non-Latin
+    # corpora. \p{L}\p{N} agree between Spark (Java) and the DuckDB
+    # oracle (RE2), same fix class as punct_ratio (curation.py).
     tok_key = norm_key(
-        F.regexp_replace(F.col("_w"), r"^[^\w]+|[^\w]+$", ""))
+        F.regexp_replace(
+            F.col("_w"), r"^[^\p{L}\p{N}_]+|[^\p{L}\p{N}_]+$", ""))
     toks = (
         turns.select(
             F.col(conv_col).alias("conv_id"),

@@ -90,20 +90,28 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing (video analog): slice the payload into
     fixed-stride 'frames', exploding to one row per frame — pure column
-    ops, demonstrating the fan-out shape real frame extraction has."""
+    ops, demonstrating the fan-out shape real frame extraction has.
+
+    Zero-byte payloads emit ZERO frame rows: ``sequence(0, -1)`` is a
+    *descending* sequence in Spark ([0, -1], two garbage frames), so the
+    empty case is guarded with an explicit empty array."""
+    idxs = F.when(
+        F.col("meta.n_bytes") > 0,
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col("meta.n_bytes") - 1) / F.lit(every_n_bytes)
+                ).cast("int"),
+                F.lit(max_frames - 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return assets.select(
         "asset_id",
         F.posexplode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.least(
-                        F.floor(
-                            (F.col("meta.n_bytes") - 1) / F.lit(every_n_bytes)
-                        ).cast("int"),
-                        F.lit(max_frames - 1),
-                    ),
-                ),
+                idxs,
                 lambda i: F.substring(
                     F.col("payload"), i * every_n_bytes + 1, every_n_bytes
                 ),

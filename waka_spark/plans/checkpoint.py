@@ -125,12 +125,27 @@ def run_checkpointed(
     if resolve:
         from waka_spark.operators.conflicts import apply_conflict_resolution
 
-        triples = manager.stage(
-            "triples", lambda: apply_conflict_resolution(fused, ents)[0]
-        )
-        final_entities = manager.stage(
-            "final_entities", lambda: apply_conflict_resolution(fused, ents)[1]
-        )
+        # Resolve ONCE and commit both outputs from the single pair (the
+        # reference's fusion likewise emits triples and entities from one
+        # pass, kg_construction.py:102-109). The pair shares the pinned
+        # per-conv fixpoint inside apply_conflict_resolution, so
+        # materializing "triples" runs the applyInPandas once and
+        # "final_entities" reuses the cache. Calling the resolver per
+        # stage (the round-3 shape) built two independent DAGs and
+        # executed the pipeline's most expensive stage twice per fresh
+        # run in the spark-submit path.
+        _pair: list[DataFrame] = []
+
+        def _resolved(idx: int) -> Callable[[], DataFrame]:
+            def thunk() -> DataFrame:
+                if not _pair:
+                    _pair.extend(apply_conflict_resolution(fused, ents))
+                return _pair[idx]
+
+            return thunk
+
+        triples = manager.stage("triples", _resolved(0))
+        final_entities = manager.stage("final_entities", _resolved(1))
     else:
         triples = fused
         final_entities = ents

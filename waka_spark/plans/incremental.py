@@ -177,11 +177,14 @@ def negative_samples(
     # repartitionByRange can resample different range boundaries per job
     # (RangePartitioner seeds by RDD id) — offsets would then describe a
     # partitioning the rank job never had, silently corrupting node_idx.
+    # registered via pins.pin() (round-4, ADVICE) so pin_scope callers
+    # release the cache block AND its CacheManager entry on scope exit
+    from waka_spark.plans.pins import pin
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = (
+    parts = pin(
         nodes.repartitionByRange(n_parts, "node")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     ranked = parts.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy("node"))

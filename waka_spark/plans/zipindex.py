@@ -78,14 +78,19 @@ def with_global_order_stats(
     # persist pins ONE physical partitioning: the collect materializes the
     # cache, the final job reads it. (Same reason RDD.zipWithIndex runs
     # its count job on the one RDD instance it then maps over.) The cache
-    # also stops the upstream aggregate from being computed twice. It is
-    # deliberately left cached — the output plan remains lazy and must
-    # keep reading the pinned partitioning; one-shot jobs release it at
-    # session end, long-lived sessions may unpersist after consuming.
-    parts = (
+    # also stops the upstream aggregate from being computed twice. The
+    # output plan remains lazy and must keep reading the pinned
+    # partitioning, so the cache cannot be dropped here — it is
+    # registered via plans/pins.pin() (round-4, ADVICE): inside a
+    # pin_scope (the serve endpoint, tests) the frame is unpersisted —
+    # DataFrame-level, so the CacheManager entry goes too — when the
+    # scope exits; outside any scope it stays for the session, exactly
+    # as a batch job wants.
+    from waka_spark.plans.pins import pin
+
+    parts = pin(
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     w = Window.partitionBy("_pid").orderBy(*order_by)
     w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
