@@ -186,6 +186,27 @@ EXTRAS = [
     "curation_token_mix",
 ]
 
+# The most expensive extras get best-of-2 (round-4 VERDICT #4): extras are
+# otherwise single-sample, and the documented 2-2.7x same-plan host spread
+# makes single samples of multi-10s queries read as regressions on
+# unchanged code (r4: kg_prepare_graph 18->52s, code untouched). Chosen
+# from the rounds-2..4 cost rankings, fixed here so the set doesn't drift
+# with the weather.
+EXPENSIVE_EXTRAS = {
+    "dedup_minhash_recall",
+    "kg_prepare_graph",
+    "kg_eval_bootstrap",
+    "graph_ktruss",
+    "graph_pagerank",
+    "graph_walks",
+    "graph_ppr",
+    "graph_adamic_adar",
+    "dedup_pipeline",
+    "dedup_threshold_curve",
+    "curation_dsir",
+    "dedup_semantic",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -218,14 +239,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # extras: one sample each (they are tracked for regressions, not the
-    # headline; best-of-2 would double a ~50s wall cost for little signal)
+    # headline; best-of-2 would double the wall cost for little signal) —
+    # EXCEPT the EXPENSIVE_EXTRAS set, which gets best-of-2 with both
+    # samples recorded (extra_samples) so cross-round comparison can
+    # separate code from host weather (round-4 VERDICT #4)
     extra_timings: dict[str, float] = {}
+    extra_samples: dict[str, list[float]] = {}
     for name in EXTRAS:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-        extra_timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        runs = 2 if name in EXPENSIVE_EXTRAS else 1
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        extra_timings[name] = min(samples)
+        if runs > 1:
+            extra_samples[name] = samples
 
     n_turns = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     turns_per_sec = round(n_turns / timings["kg_e2e_triples"], 1)
@@ -237,6 +268,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra_timings,
+        "extra_samples": extra_samples,  # best-of-2 audit trail
         "sf": sf,
         "cpus": int(cpus),
         "kg_e2e_turns_per_sec": turns_per_sec,
@@ -288,6 +320,28 @@ def main() -> None:
                 qs[name](spark, sf1_dir).write.format("noop").mode(
                     "overwrite").save()
                 sf1_timings[name] = round(time.time() - t0, 3)
+            # sampled minhash recall (round-4 VERDICT #5): the production
+            # contract — recall measured on a deterministic corpus sample
+            # (dedup.py minhash_recall SAMPLING CONTRACT) — is the code
+            # path timed here; raw (unsampled) recall stays out of sf1 for
+            # the same replication-quadratic reason as raw minhash pairs.
+            if time.time() - sf1_start <= sf1_budget:
+                from waka_spark.operators.dedup import minhash_recall
+                t0 = time.time()
+                rec_row = minhash_recall(
+                    spark.read.parquet(f"{sf1_dir}/documents.parquet"),
+                    threshold=0.5, sample_fraction=0.1,
+                ).collect()[0]
+                sf1_timings["dedup_minhash_recall_sampled"] = round(
+                    time.time() - t0, 3)
+                spark.catalog.clearCache()
+                rec = rec_row["recall"]
+                payload["sf1_minhash_recall_sampled"] = {
+                    "n_true_pairs": rec_row["n_true_pairs"],
+                    "n_caught": rec_row["n_caught"],
+                    "recall": rec,
+                    "sane": rec is None or 0.0 <= rec <= 1.0,
+                }
             sf1_turns = spark.read.parquet(
                 f"{sf1_dir}/documents.parquet").count()
             payload["sf1_queries"] = sf1_timings

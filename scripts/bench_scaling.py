@@ -186,9 +186,17 @@ def run_pairs(args) -> None:
     asymmetric host-noise windows (documented 1.57-2.7x same-plan
     spread): a noise storm that lands inside one pair corrupts one
     sample, not the headline. Per level: an untimed warmup-slice run
-    pays JIT + Python-worker spin-up inside the JVM, then ONE timed
-    full-corpus run — each pair's wall window is ~2x shorter than the
-    best-of-2 methodology, so fewer storms land inside a pair at all.
+    pays JIT + Python-worker spin-up inside the JVM, then ``--pair-runs``
+    timed full-corpus runs (level time = best-of; with 1 run — round 4 —
+    each pair's wall window is shortest; with 2 — round 5 — a storm must
+    span both runs to contaminate a level).
+
+    Round-5 declared estimator (VERDICT #1): the summary also computes
+    the QUIET-pair median — pairs where BOTH levels landed within 1.25x
+    of their campaign per-level floor (neither measurement
+    storm-contaminated; conditioning on both sides avoids one-sided
+    selection bias). The filter is part of the estimator, computed
+    mechanically here, not a post-hoc diagnostic.
 
     Results append to --pairs-out after every pair (a killed campaign
     keeps its data; rerun with --skip-gen to add pairs). BENCH.md is
@@ -200,16 +208,38 @@ def run_pairs(args) -> None:
     factor = hi // lo
     out_path = Path(args.pairs_out)
     state: dict = {"n_convs": args.n_convs, "levels": list(LEVELS),
-                   "pairs": []}
+                   "pair_runs": args.pair_runs, "pairs": []}
     if out_path.exists() and args.skip_gen:
+        # resume: the existing campaign must match the current arguments
+        # — pooling pairs from a different corpus/levels/estimator into
+        # one median would be meaningless (round-5, ADVICE)
         state = json.loads(out_path.read_text())
+        mismatches = [
+            f"{key}: file has {state.get(key)!r}, args say {want!r}"
+            for key, want in (("n_convs", args.n_convs),
+                              ("levels", list(LEVELS)),
+                              ("pair_runs", args.pair_runs))
+            if state.get(key, 1 if key == "pair_runs" else None) != want
+        ]
+        if mismatches:
+            raise SystemExit(
+                f"refusing to resume {out_path}: campaign state does not "
+                f"match arguments ({'; '.join(mismatches)}). Use a fresh "
+                "--pairs-out file for a new campaign.")
+    elif out_path.exists():
+        # without --skip-gen this would silently clobber a prior campaign
+        # on the first pair write (round-5, ADVICE)
+        raise SystemExit(
+            f"refusing to overwrite existing campaign file {out_path}; "
+            "pass --skip-gen to resume it or choose a new --pairs-out.")
     k0 = len(state["pairs"])
 
     for k in range(k0, k0 + args.pairs):
         order = (lo, hi) if k % 2 == 0 else (hi, lo)
         res = {}
         for cpus in order:
-            r = run_level(cpus, args.input, in_jvm_runs=1, warmup=True)
+            r = run_level(cpus, args.input, in_jvm_runs=args.pair_runs,
+                          warmup=True)
             res[cpus] = r
             print(f"pair{k} {json.dumps(r)}", file=sys.stderr)
         eff = round(
@@ -225,19 +255,42 @@ def run_pairs(args) -> None:
         effs = sorted(p["efficiency"] for p in state["pairs"])
         state["median_pair_efficiency"] = round(statistics.median(effs), 3)
         state["pair_efficiencies"] = effs
+        _quiet_stats(state, lo, hi)
         out_path.write_text(json.dumps(state, indent=1))
         print(f"pair{k} efficiency={eff} "
               f"median_so_far={state['median_pair_efficiency']}",
               file=sys.stderr)
 
     print(json.dumps({
-        "estimator": "median of same-window pair efficiencies",
+        "estimator": "median of same-window pair efficiencies "
+                     "(+ declared quiet-pair filter)",
         "n_pairs": len(state["pairs"]),
-        "pair_efficiencies": state["pair_efficiencies"],
-        "median_pair_efficiency": state["median_pair_efficiency"],
+        "pair_efficiencies": state.get("pair_efficiencies", []),
+        "median_pair_efficiency": state.get("median_pair_efficiency"),
+        "quiet_pairs": state.get("quiet_pairs", []),
+        "quiet_median_efficiency": state.get("quiet_median_efficiency"),
         "output_identity_all_pairs": all(
             p["output_identity"] for p in state["pairs"]),
     }))
+
+
+def _quiet_stats(state: dict, lo: int, hi: int) -> None:
+    """Quiet-pair filter, part of the round-5 declared estimator: a pair
+    is quiet iff BOTH its level times are within 1.25x of that level's
+    campaign floor (min over all pairs so far)."""
+    import statistics
+
+    pairs = state["pairs"]
+    floor = {c: min(p[f"local{c}"]["elapsed_sec"] for p in pairs)
+             for c in (lo, hi)}
+    quiet = [p for p in pairs
+             if all(p[f"local{c}"]["elapsed_sec"] <= 1.25 * floor[c]
+                    for c in (lo, hi))]
+    state["level_floors"] = {f"local{c}": floor[c] for c in (lo, hi)}
+    state["quiet_pairs"] = [p["pair"] for p in quiet]
+    state["quiet_median_efficiency"] = (
+        round(statistics.median([p["efficiency"] for p in quiet]), 3)
+        if quiet else None)
 
 
 def main() -> None:
@@ -259,6 +312,11 @@ def main() -> None:
              "Writes JSON to --pairs-out; never touches BENCH.md.",
     )
     ap.add_argument("--pairs-out", default="/tmp/scaling_pairs.json")
+    ap.add_argument(
+        "--pair-runs", type=int, default=1,
+        help="timed in-JVM runs per level inside each pair (level time = "
+             "best-of); 1 = round-4 estimator, 2 = round-5 (a storm must "
+             "span both runs to contaminate a level)")
     ap.add_argument(
         "--skip-gen", action="store_true",
         help="reuse an existing --input corpus (resume a pairs campaign)")

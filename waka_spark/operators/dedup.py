@@ -776,7 +776,15 @@ def minhash_recall(
     is NULL when there are no true pairs (nothing to measure).
     """
     if sample_fraction is not None:
-        df = df.sample(fraction=float(sample_fraction), seed=seed)
+        # The sample is consumed by TWO lineages (truth + candidate).
+        # Bernoulli sampling is deterministic only given a stable
+        # per-partition row order; a nondeterministic upstream (e.g. a
+        # shuffle) could hand the two sides DIFFERENT samples, biasing
+        # measured recall (round-5, ADVICE). Pinning materializes one
+        # sample that both sides read.
+        from waka_spark.plans.pins import pin
+
+        df = pin(df.sample(fraction=float(sample_fraction), seed=seed))
     truth = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
     ).select("doc_a", "doc_b")

@@ -152,6 +152,14 @@ def negative_samples(
 
     Output: (subj_url, pred_url, obj_url, neg_idx, neg_obj_url,
     is_degenerate).
+
+    SCOPE CONTRACT (round-5, ADVICE): the returned frame depends on a
+    pinned range partitioning whose boundaries the collected offsets
+    describe (same algebra as ``plans/zipindex``). Inside a
+    ``pin_scope``, consume the result BEFORE the scope exits — a
+    post-exit action recomputes ``repartitionByRange`` and may resample
+    different boundaries than the frozen offsets, corrupting
+    ``node_idx``.
     """
     from pyspark.sql import Window
 

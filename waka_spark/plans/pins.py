@@ -51,7 +51,16 @@ def pin(df: DataFrame) -> DataFrame:
 @contextmanager
 def pin_scope():
     """Release every frame pinned inside the block — blocks AND
-    CacheManager entries — when the block exits (even on error)."""
+    CacheManager entries — when the block exits (even on error).
+
+    CONTRACT (round-5, ADVICE): some pins are load-bearing, not caches —
+    ``plans/zipindex.with_global_order_stats`` and
+    ``plans/incremental.negative_samples`` collect driver-side offsets
+    against ONE pinned range partitioning; recomputing that partitioning
+    after the pin is released may resample different range boundaries
+    while the offsets stay frozen, silently corrupting global ranks.
+    Any lazy frame built from such operators must be consumed (collect /
+    write / count) BEFORE the enclosing scope exits."""
     frames: list[DataFrame] = []
     _stack().append(frames)
     try:

@@ -62,6 +62,15 @@ def with_global_order_stats(
     runs when the plan is built, not at the caller's action (the global
     offsets cannot exist before the data is partitioned). Callers that
     may abandon the plan should build it lazily behind their own gate.
+
+    SCOPE CONTRACT (round-5, ADVICE): the returned frame is lazy but
+    depends on a pinned (``plans/pins.pin``) physical partitioning whose
+    range boundaries the collected offsets describe. Inside a
+    ``pin_scope`` the pin is released on scope exit — consume (collect /
+    write / count) the returned frame BEFORE the enclosing scope exits.
+    A post-exit action would recompute ``repartitionByRange``, which may
+    resample different boundaries while the frozen offsets describe the
+    old ones — silently corrupting global ranks/prefix sums.
     """
     spark = df.sparkSession
     if n_parts is None:
