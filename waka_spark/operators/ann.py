@@ -274,9 +274,14 @@ def embedding_cosine_pairs(
     deferred — near-identical vectors still meet in other bands unless hot
     everywhere). Use ``lsh_bucket_stats`` to see what a cap drops before
     committing to one. Default None = every bucket participates."""
+    from waka_spark.plans.pins import pin
+
     comps = _collected_planes(embeddings, vec_col, n_bands * band_planes)
-    tagged = banded_lsh_tags(
-        embeddings, comps, n_bands, band_planes, id_col, vec_col)
+    # the tagged frame feeds both self-join sides (plus the occupancy
+    # guard when capped) — pin it, or every consumer re-runs the
+    # n_bands*band_planes dot products over the whole corpus
+    tagged = pin(banded_lsh_tags(
+        embeddings, comps, n_bands, band_planes, id_col, vec_col))
     if max_bucket_size is not None:
         keep = (
             tagged.groupBy("band", "bucket")
@@ -676,10 +681,13 @@ def kmeans_fit(
     the cell's population in the assignment that produced it.
     """
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    # one driver action covers both the dim probe and the init rows (the
+    # separate .first() was a whole extra Spark job per call — and kmeans_fit
+    # is called m times per PQ build)
     init_rows = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    dim = len(init_rows[0][1])
     codebook: list[list[float]] = [
         [round(float(x), 6) for x in r[1]] for r in init_rows
     ]
@@ -1083,6 +1091,71 @@ def covariance_matrix(
     )
 
 
+def _pq_train_codebooks(
+    corpus: DataFrame, m: int, k: int, n_iters: int
+) -> list[list[list[float]]]:
+    """Train the ``m`` per-subspace k-means codebooks of a PQ build in ONE
+    driver loop: per iteration, every (vector, subspace) slice is assigned
+    narrow against its subspace's codebook literal and aggregated in a
+    single ``groupBy(subspace, cell)`` hash-agg — one Spark action per
+    iteration instead of one *per subspace per iteration* (the former
+    sequential ``m × kmeans_fit`` layout paid ~m·(n_iters+2) driver
+    actions; at bench scale the action latency, not the math, dominated
+    the PQ operators).
+
+    Numerically identical to ``kmeans_fit`` per subspace: same init (the
+    k lowest ids' slices, rounded 1e-6), same argmax-cosine assignment
+    (rounded 1e-6, ties → lowest cell), same per-cell mean rounded 1e-6
+    before the next iteration, empty cells keep their previous centroid.
+
+    ``corpus`` must carry (vec_id, _v array<double>); returns
+    ``codebooks[s][cell] = centroid vector`` (length dim//m each).
+    """
+    init_rows = corpus.select("vec_id", "_v").orderBy("vec_id").limit(
+        k).collect()
+    dim = len(init_rows[0][1])
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    codebooks: list[list[list[float]]] = [
+        [
+            [round(float(x), 6) for x in r[1][s * sub:(s + 1) * sub]]
+            for r in init_rows
+        ]
+        for s in range(m)
+    ]
+
+    sub_slices = F.array(*[
+        F.slice(F.col("_v"), s * sub + 1, sub) for s in range(m)
+    ])
+    exploded = corpus.select(F.posexplode(sub_slices).alias("s", "sv"))
+
+    for _ in range(n_iters):
+        cbs = F.array(*[
+            F.array(*[F.lit(c).cast("array<double>") for c in codebooks[s]])
+            for s in range(m)
+        ])
+        cents_row = F.element_at(cbs, F.col("s") + 1)
+        sims = F.transform(
+            cents_row, lambda c: F.round(cosine(F.col("sv"), c), 6))
+        assigned = exploded.select(
+            "s",
+            (F.array_position(sims, F.array_max(sims)) - 1)
+            .cast("int").alias("cell"),
+            "sv",
+        )
+        new_rows = (
+            assigned.groupBy("s", "cell")
+            .agg(*[
+                F.round(F.avg(F.element_at("sv", i + 1)), 6).alias(f"_c{i}")
+                for i in range(sub)
+            ])
+            .collect()
+        )
+        for r in new_rows:
+            codebooks[r["s"]][r["cell"]] = [r[f"_c{i}"] for i in range(sub)]
+    return codebooks
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 4,
@@ -1108,46 +1181,63 @@ def pq_encode(
     Output: (vec_id, code array<int> length m, recon_mse) where recon_mse
     is the mean squared per-dimension reconstruction error, rounded 1e-6.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    codebooks = _pq_train_codebooks(corpus, m, k, n_iters)
+    dim = len(codebooks[0][0]) * m
     sub = dim // m
 
-    out = None
-    for s in range(m):
-        sliced = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                s * sub + 1, sub,
-            ).alias("embedding"),
+    cb_lits = [
+        F.array(*[F.lit(c).cast("array<double>") for c in codebooks[s]])
+        for s in range(m)
+    ]
+    # all m assignments + errors computed NARROW in one pass over the
+    # corpus against the codebook literals — no per-subspace joins
+    def _sub_sims(s: int, cb: Column) -> Column:
+        # factory closure: a `lambda c, _s=s` default-arg trick would make
+        # the transform lambda binary, and PySpark passes the array INDEX
+        # as the second argument of a two-arg transform lambda
+        start = s * sub + 1
+        return F.transform(
+            cb,
+            lambda c: F.round(cosine(F.slice(F.col("_v"), start, sub), c), 6),
         )
-        cents_df = kmeans_fit(sliced, k=k, n_iters=n_iters)
-        rows = cents_df.orderBy("cell", "dim_idx").collect()
-        by_cell: dict[int, list[float]] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
-        cent_lit = F.array(*[
-            F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
-        ])
-        assigned = ivf_assign(sliced, cent_lit)
-        err = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.element_at(cent_lit, F.col("cell") + 1),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        part = assigned.select(
-            "vec_id",
-            F.col("cell").alias(f"_c{s}"),
-            err.alias(f"_e{s}"),
-        )
-        out = part if out is None else out.join(part, "vec_id")
 
+    sims = corpus.select(
+        "vec_id", "_v",
+        *[_sub_sims(s, cb_lits[s]).alias(f"_sims{s}") for s in range(m)],
+    )
+    cells = sims.select(
+        "vec_id", "_v",
+        *[
+            (
+                F.array_position(
+                    F.col(f"_sims{s}"), F.array_max(F.col(f"_sims{s}"))
+                ) - 1
+            ).cast("int").alias(f"_c{s}")
+            for s in range(m)
+        ],
+    )
+    errs = cells.select(
+        "vec_id",
+        *[F.col(f"_c{s}") for s in range(m)],
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_v"), s * sub + 1, sub),
+                    F.element_at(cb_lits[s], F.col(f"_c{s}") + 1),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"_e{s}")
+            for s in range(m)
+        ],
+    )
     total_err = sum((F.col(f"_e{s}") for s in range(1, m)), F.col("_e0"))
-    return out.select(
+    return errs.select(
         "vec_id",
         F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("code"),
         F.round(total_err / dim, 6).alias("recon_mse"),
@@ -1186,10 +1276,6 @@ def pq_adc_topk(
     Output: (q_id, vec_id, dist, rank) — dist = exact squared L2,
     ascending.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    assert dim % m == 0
-    sub = dim // m
-
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -1200,25 +1286,41 @@ def pq_adc_topk(
         .alias("q_vec"),
     )
 
-    # per-subspace codebooks + corpus code columns (pq_encode's loop)
-    coded = corpus
-    codebooks: list = []
-    for s in range(m):
-        sliced = corpus.select(
-            "vec_id", F.slice(F.col("_v"), s * sub + 1, sub).alias("embedding"))
-        cents_df = kmeans_fit(sliced, k=k, n_iters=n_iters)
-        by_cell: dict[int, list[float]] = {}
-        for r in cents_df.orderBy("cell", "dim_idx").collect():
-            by_cell.setdefault(r["cell"], []).append(r["centroid_val"])
-        cent_lit = F.array(*[
-            F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
-        ])
-        codebooks.append(cent_lit)
-        coded = coded.join(
-            ivf_assign(sliced, cent_lit).select(
-                "vec_id", F.col("cell").alias(f"_c{s}")),
-            "vec_id",
+    # per-subspace codebooks trained jointly (one action per iteration —
+    # see _pq_train_codebooks), then all m code columns computed NARROW
+    # in one projection against the codebook literals — no per-subspace
+    # joins, no per-subspace driver loops
+    trained = _pq_train_codebooks(corpus, m, k, n_iters)
+    dim = len(trained[0][0]) * m
+    sub = dim // m
+    codebooks: list = [
+        F.array(*[F.lit(c).cast("array<double>") for c in trained[s]])
+        for s in range(m)
+    ]
+    def _sub_sims(s: int, cb: Column) -> Column:
+        # factory closure (NOT a two-arg lambda: PySpark passes the array
+        # index as a transform lambda's second argument)
+        start = s * sub + 1
+        return F.transform(
+            cb,
+            lambda c: F.round(cosine(F.slice(F.col("_v"), start, sub), c), 6),
         )
+
+    sims = corpus.select(
+        "vec_id", "_v",
+        *[_sub_sims(s, codebooks[s]).alias(f"_sims{s}") for s in range(m)],
+    )
+    coded = sims.select(
+        "vec_id", "_v",
+        *[
+            (
+                F.array_position(
+                    F.col(f"_sims{s}"), F.array_max(F.col(f"_sims{s}"))
+                ) - 1
+            ).cast("int").alias(f"_c{s}")
+            for s in range(m)
+        ],
+    )
 
     def sq_dist(a, b):
         return F.aggregate(

@@ -97,8 +97,18 @@ def repetition_stats(
 
     Two explode+agg passes (words, bigrams), each a single hash-agg keyed
     by (doc_id, gram) then doc_id — map-side partials apply, key skew is
-    bounded by document length.
+    bounded by document length. The input goes through the shared
+    parallel-floor first (plans/parallel.py): the n-gram expressions are
+    higher-order functions, which Spark evaluates INTERPRETED (no
+    whole-stage codegen for lambdas), so an under-split scan serializes
+    the whole corpus through one core. (A fully narrow sorted-fold
+    rewrite was measured and rejected: per-element struct accumulators in
+    interpreted `aggregate` were 4× slower than the explode+codegen'd
+    hash-agg shape.)
     """
+    from waka_spark.plans.parallel import parallel_floor
+
+    df = parallel_floor(df, id_col)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), 1)).alias("gram"),
@@ -684,22 +694,33 @@ def prepare_corpus(
     """
     from waka_spark.operators.dedup import exact_dedup
 
+    # Funnel as an ID CHAIN: each gate runs on the previous gate's
+    # survivors (dedup first, so the quality gates never score duplicate
+    # copies), but later gates consume only the surviving-ID frame, never
+    # the full document frame. The former composition used each stage's
+    # full frame both as the next gate's input AND as the next semi-join
+    # left side — two consumers per stage, doubling the upstream plan at
+    # every level (16 corpus Scan nodes in the physical plan). Here every
+    # frame has exactly one consumer (the hash split needs only the id
+    # column, so it reads the verdict-survivor id frame directly) and the
+    # full documents are touched three times total: the dedup agg, the
+    # verdict pass over dedup survivors, and the final semi join.
+    # train_ids ⊆ verdict-survivors ⊆ keepers, so the last semi join alone
+    # reproduces the nested-filter result.
     keepers = exact_dedup(df, id_col, text_col).select(
         F.col("keeper_id").alias(id_col))
     kept = df.join(keepers, id_col, "left_semi")
-
-    good = kept.join(
+    good_ids = (
         filter_verdict(kept, id_col, text_col)
         .filter(F.col("keep") == 1)
-        .select(F.col("doc_id").alias(id_col)),
-        id_col, "left_semi",
+        .select(F.col("doc_id").alias(id_col))
     )
-    train = good.join(
-        split_by_hash(good, id_col)
+    train_ids = (
+        split_by_hash(good_ids, id_col)
         .filter(F.col("split") == "train")
-        .select(F.col("doc_id").alias(id_col)),
-        id_col, "left_semi",
+        .select(F.col("doc_id").alias(id_col))
     )
+    train = df.join(train_ids, id_col, "left_semi")
     return pack_sequences(train, id_col, text_col, budget, n_buckets)
 
 

@@ -55,30 +55,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def _parallel_floor(df: DataFrame, id_col: str) -> DataFrame:
     """Shingling/hashing is CPU-heavy narrow work that runs at *scan*
-    parallelism — a small parquet reads as 1-2 partitions and strands the
-    other cores. Repartition the doc rows to 2x cores, but ONLY when the
-    optimizer's size estimate says the input is small enough that the
-    scan could have under-split (< cores x 128 MB, the default
-    maxPartitionBytes — below it the extra shuffle is also trivially
-    cheap). A LARGE input already splits to >= cores partitions at the
-    scan, and repartitioning it would exchange the full document-text
-    payload corpus-wide for zero parallelism gain — a multi-TB shuffle
-    per dedup pass at the 100 TB design point. (Deciding via pre-AQE
-    ``df.rdd.getNumPartitions()`` was rejected earlier: it reports
-    ``spark.sql.shuffle.partitions`` for any shuffled input and forces a
-    plan-to-RDD conversion; the plan-stats probe costs neither.)"""
-    sc = df.sparkSession.sparkContext
-    floor = 2 * sc.defaultParallelism
-    try:
-        size_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
-        )
-    except Exception:  # stats unavailable -> assume small (safe default)
-        size_bytes = 0
-    if size_bytes >= sc.defaultParallelism * 128 * 1024 * 1024:
-        return df
-    return df.repartition(floor, F.col(id_col))
+    parallelism — see plans/parallel.parallel_floor (shared round-6: the
+    same under-split hazard applies to every token-explode/HOF operator,
+    not just dedup)."""
+    from waka_spark.plans.parallel import parallel_floor
+
+    return parallel_floor(df, id_col)
 
 
 def _doc_shingles(
@@ -108,14 +90,17 @@ def ngram_jaccard_pairs(
     the shingle equi-join *is* the candidate generation. ``max_shingle_freq``
     drops shingles appearing in more than that many docs (skew guard).
     """
-    shingles = _doc_shingles(df, id_col, text_col, n)
+    # The shingle frame feeds THREE subtrees below (sizes, both self-join
+    # sides), and an unpinned frame re-runs the CPU-heavy corpus shingle
+    # pass once per consumer (the planner broadcasts one join side at
+    # small sizes, so there is no exchange to reuse). Pin it: the scan +
+    # shingle explode executes ONCE; consumers read the cached rows.
+    from waka_spark.plans.pins import pin
+
+    shingles = pin(_doc_shingles(df, id_col, text_col, n))
     if max_shingle_freq is not None:
-        # document-frequency guard as ONE window over shingle partitioning,
-        # not a groupBy+self-join: the join form re-evaluates the (CPU-heavy)
-        # shingle explode once per consumer of its output — and this frame
-        # has three consumers below (sizes, both join sides) — while the
-        # window keeps a single lineage whose exchange the a/b self-join
-        # can reuse (it is already hash-partitioned by shingle).
+        # document-frequency guard as ONE window over the shared shingle
+        # partitioning (no further exchange), not a groupBy+self-join
         w_df = Window.partitionBy("shingle")
         shingles = (
             shingles.withColumn("_df", F.count("*").over(w_df))
@@ -123,7 +108,12 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
 
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    from waka_spark.plans.pins import pin
+
+    # two join consumers below; one row per doc — pin the tiny aggregate
+    sizes = pin(
+        shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    )
 
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -178,10 +168,20 @@ def minhash_signatures(
     # explode, no groupBy shuffle; only n_bands signature rows per doc
     # ever materialize (for the downstream bucket join). _hex is its own
     # projection so the digests compute once per shingle, not per band.
-    base = _parallel_floor(df, id_col).select(
+    #
+    # Empty-doc filter: `normalize_text(text) != ''` is equivalent to
+    # `size(array_remove(word_shingles(text), '')) > 0` (the shingle array
+    # is empty iff the normalized text is empty/null) but costs one regex
+    # instead of the whole shingle pipeline — the pushed-down size() filter
+    # made the optimizer evaluate the full split/slice/join expression tree
+    # TWICE per row (once in the Filter, once in the Project), which
+    # profiling showed doubled the operator's scan-stage CPU.
+    base = _parallel_floor(df, id_col).filter(
+        normalize_text(F.col(text_col)) != ""
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.array_remove(word_shingles(F.col(text_col), n), "").alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    )
     hexes = base.select(
         "doc_id",
         F.transform(
@@ -215,8 +215,18 @@ def minhash_lsh_pairs(
     n: int = 3,
     n_bands: int = 8,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs colliding in ≥1 band bucket."""
-    sigs = minhash_signatures(df, id_col, text_col, n, n_bands)
+    """Candidate near-dup pairs: docs colliding in ≥1 band bucket.
+
+    The signature table is pinned before the self-join: without it each
+    side of the join re-runs the whole corpus shingle+digest pass (the
+    planner broadcasts one side, so there is no Exchange to reuse), i.e.
+    2x the most expensive stage. The pinned frame is n_bands rows/doc of
+    (id, int, 8-char hex) — the lightweight proxy, negligible next to the
+    corpus it summarizes.
+    """
+    from waka_spark.plans.pins import pin
+
+    sigs = pin(minhash_signatures(df, id_col, text_col, n, n_bands))
     a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (

@@ -52,7 +52,17 @@ def link_entities(
 
     Output identity: (conv_id, start_idx, end_idx, url) — P10's
     ``list(set(linked_entities))`` dedup (entity_linking.py:133).
+
+    The mentions input is pinned before the prelinked/unlinked split: the
+    two nullability filters are separate plan consumers, so an unpinned
+    frame re-runs the whole upstream mention producer — for the pipeline
+    that is the full-corpus NER Arrow pass, twice. The pinned frame is
+    span rows (id, offsets, short strings), the lightweight proxy of the
+    corpus it was extracted from.
     """
+    from waka_spark.plans.pins import pin
+
+    mentions = pin(mentions)
     prelinked = (
         mentions
         .filter(F.col("url").isNotNull())

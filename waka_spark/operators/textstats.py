@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from waka_spark.plans.parallel import parallel_floor
+
 # compact English stopword core — enough signal for n-gram-heuristic
 # language ID over web text
 EN_STOPWORDS = (
@@ -29,6 +31,7 @@ def token_counts(
     """Whitespace token count + BPE-ish subtoken count (letter runs, digit
     runs, and single punctuation marks — the pre-tokenizer split every BPE
     vocabulary starts from)."""
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -47,6 +50,7 @@ def quality_scores(
 ) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score in [0,1] (a Gopher-rules-style filter surface)."""
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
     words = _words(text)
     n_words = F.size(words)
@@ -86,6 +90,7 @@ def lang_id(
 ) -> DataFrame:
     """Stopword-ratio heuristic language ID (the n-gram-frequency family):
     predict 'en' when the English stopword mass clears the threshold."""
+    df = parallel_floor(df, id_col)
     words = _words(F.col(text_col))
     ratio = F.size(
         F.filter(words, lambda w: w.isin(EN_STOPWORDS))
@@ -121,6 +126,7 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    df = parallel_floor(df, id_col)
     terms = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_words(F.col(text_col))).alias("term"),
@@ -174,6 +180,7 @@ def unigram_logprob(
     which equi-joins the model on word and re-aggregates by doc — two
     shuffles total; the corpus-total is a single-row agg broadcast in.
     """
+    df = parallel_floor(df, id_col)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_words(F.col(text_col))).alias("word"),
@@ -218,6 +225,7 @@ def bigram_logprob(
     ~n_tokens/2 under Zipf). The per-doc mean re-weights by the local
     count n, which is exactly the instance-level average.
     """
+    df = parallel_floor(df, id_col)
     arr = F.filter(_words(F.col(text_col)), lambda w: w != "")
     pair_t = "array<struct<w1:string,w2:string>>"
     pairs = F.when(
@@ -280,6 +288,7 @@ def typo_pairs(
     LSH-hot-bucket analog; vocabulary distributions keep it bounded, and
     ``min_len`` drops the short words that generate the hottest ones.
     """
+    df = parallel_floor(df, text_col)
     words = (
         df.select(F.explode(_words(F.col(text_col))).alias("w"))
         .filter(F.length("w") >= min_len)
@@ -337,6 +346,7 @@ def fingerprints(
     fingerprints ⇒ near-certain shared window)."""
     from waka_spark.operators.dedup import word_shingles
 
+    df = parallel_floor(df, id_col)
     sh = word_shingles(F.col(text_col), n)
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -372,6 +382,7 @@ def winnowing_fingerprints(
     Hashes are ``int(md5(kgram)[:8], 16)`` — oracle-portable. Output:
     (doc_id, pos, fp_hash), one row per *selected* k-gram position.
     """
+    df = parallel_floor(df, id_col)
     words = _words(F.col(text_col))
     n_kg = F.size(words) - (kgram - 1)
     kgrams = F.when(
@@ -436,6 +447,7 @@ def bpe_pair_counts(
     hash-agg + a top-k TakeOrdered. Output: (pair, n_words, n_total),
     n_total = occurrence-weighted pair count, ordered n_total desc.
     """
+    df = parallel_floor(df, id_col)
     vocab = (
         df.select(
             F.explode(_words(F.col(text_col))).alias("word"),
@@ -494,6 +506,7 @@ def slice_kl_divergence(
 
     Output: (slice, n_tokens, kl), kl rounded 1e-6.
     """
+    df = parallel_floor(df, id_col)
     toks = df.select(
         F.col(slice_col).alias("slice"),
         F.explode(_words(F.col(text_col))).alias("word"),
@@ -584,6 +597,7 @@ def keyness_terms(
     """
     from pyspark.sql import Window
 
+    df = parallel_floor(df, id_col)
     sw = (
         df.select(
             F.col(slice_col).alias("slice"),
@@ -643,6 +657,7 @@ def script_profile(
     ``dominant`` is the argmax class (ties: latin > digit > space >
     other, the declaration order).
     """
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
     n_chars = F.length(text)
     denom = F.greatest(n_chars, F.lit(1))
@@ -705,6 +720,7 @@ def vocab_novelty(
     Output: (day, n_active_words, n_new_words, novelty), novelty
     round-6.
     """
+    df = parallel_floor(df, id_col)
     pairs = (
         df.select(
             F.col(day_col).alias("day"),
@@ -752,6 +768,7 @@ def readability_scores(
     flesch = 206.835 − 1.015·w/s − 84.6·syl/w (round-4 — the formula's
     customary precision).
     """
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     words = F.filter(F.split(norm, " "), lambda w: w != "")
@@ -798,6 +815,7 @@ def zipf_fit(
 
     Output: one row (n_words_ranked, zipf_slope, r2), round-6.
     """
+    df = parallel_floor(df, id_col)
     words = (
         df.select(F.explode(_words(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
@@ -848,6 +866,7 @@ def collocations(
     Output: (word_1, word_2, n_pair, pmi, rank), top_k by (pmi desc,
     pair asc), pmi round-6.
     """
+    df = parallel_floor(df, id_col)
     words_arr = _words(F.col(text_col))
     toks = F.filter(words_arr, lambda w: w != "")
     bigrams = df.select(

@@ -1,0 +1,39 @@
+"""Scan-parallelism floor for CPU-heavy narrow stages over small inputs.
+
+A small parquet file reads as 1-2 scan partitions (``maxPartitionBytes``
+packing), so any narrow CPU-heavy pipeline on top of it — token explodes,
+higher-order-function expressions, Arrow/Python passes — runs on one core
+while the rest of the cluster idles. The floor repartitions the rows to
+2× cores, but ONLY when the optimizer's size estimate says the input is
+small enough that the scan could have under-split (< cores × 128 MB, the
+default ``maxPartitionBytes`` — below it the extra shuffle is trivially
+cheap). A LARGE input already splits to >= cores partitions at the scan,
+and repartitioning it would exchange the full payload corpus-wide for
+zero parallelism gain — a multi-TB shuffle per pass at the 100 TB design
+point. (Deciding via pre-AQE ``df.rdd.getNumPartitions()`` was rejected
+earlier: it reports ``spark.sql.shuffle.partitions`` for any shuffled
+input and forces a plan-to-RDD conversion; the plan-stats probe costs
+neither.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parallel_floor(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ``df`` to 2× cores hashed on ``key_col`` iff its
+    optimizer size estimate is below cores × 128 MB; identity otherwise."""
+    sc = df.sparkSession.sparkContext
+    floor = 2 * sc.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:  # stats unavailable -> assume small (safe default)
+        size_bytes = 0
+    if size_bytes >= sc.defaultParallelism * 128 * 1024 * 1024:
+        return df
+    return df.repartition(floor, F.col(key_col))
