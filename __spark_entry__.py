@@ -200,7 +200,11 @@ def q_kg_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("l_quantity").alias("s"),
         (F.col("l_quantity") + F.col("l_linenumber")).alias("e"),
-    )
+    ).repartition("l_orderkey")
+    # one explicit exchange on the join key, reused by BOTH self-join
+    # sides: without it the planner broadcasts one side (whole-table hash
+    # relation) and probes it at scan parallelism — a sub-128MB file scans
+    # as ONE partition, so the per-order pair enumeration ran on one core
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(

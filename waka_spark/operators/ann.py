@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from waka_spark.plans.parallel import parallel_floor
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -62,6 +64,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (broadcast queries ×
     scan corpus; no corpus shuffle — only the final per-query window)."""
+    embeddings = parallel_floor(embeddings, id_col)
     joined = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).crossJoin(
@@ -164,6 +167,7 @@ def banded_lsh_tags(
     All ``n_bands * band_planes`` sign bits are computed narrow in one
     projection (each dot product evaluated once), then sliced into
     per-band bucket ids — n_bands rows per vector, no shuffle."""
+    df = parallel_floor(df, id_col)
     vec = F.col(vec_col)
     bits = F.transform(
         comps,
@@ -374,6 +378,7 @@ def matmul_topk(
                 "cos": np.concatenate(out_c),
             })
 
+    embeddings = parallel_floor(embeddings, id_col)
     cand = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vec"),
@@ -406,6 +411,7 @@ def quantize_embeddings(
     the mean |x - q·scale| reconstruction error, the quality number a
     deployment monitors when choosing int8 vs float16.
     """
+    embeddings = parallel_floor(embeddings, id_col)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
@@ -570,6 +576,7 @@ def ivf_assign(
     """argmax-cosine cell assignment, computed narrow (one projection per
     row, no shuffle). Ties on the rounded similarity go to the lowest cell
     index (``array_position`` returns the first match)."""
+    df = parallel_floor(df, id_col)
     vec = F.col(vec_col)
     sims = F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
     return df.select(
@@ -776,6 +783,7 @@ def simplified_silhouette(
     cents = F.array(*[
         F.lit(by_cell[c]).cast("array<double>") for c in sorted(by_cell)
     ])
+    embeddings = parallel_floor(embeddings, id_col)
     vec = F.col(vec_col)
     sims = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -887,6 +895,7 @@ def random_projection(
         h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
         return 1 if int(h[:2], 16) % 2 == 0 else -1
 
+    emb = parallel_floor(emb, id_col)
     scale = 1.0 / (out_dim ** 0.5)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     coords = []
@@ -1055,6 +1064,7 @@ def covariance_matrix(
     # the folded (i, j, s) table feeds three consumers (gram cells, mean_i,
     # mean_j) — persist it or each consumer replays the corpus GEMM scan;
     # it is dim(dim+3)/2 rows regardless of corpus size
+    embeddings = parallel_floor(embeddings, vec_col)
     sums = (
         embeddings.select(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -1124,6 +1134,7 @@ def _pq_train_codebooks(
         for s in range(m)
     ]
 
+    corpus = parallel_floor(corpus, "vec_id")
     sub_slices = F.array(*[
         F.slice(F.col("_v"), s * sub + 1, sub) for s in range(m)
     ])

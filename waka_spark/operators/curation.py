@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from waka_spark.plans.parallel import parallel_floor
+
 from waka_spark.operators.dedup import normalize_text
 
 # RE2-compatible (no lookaround/backrefs) so Spark's Java regex and the
@@ -51,6 +53,7 @@ def pii_scrub(
     though the email redaction already consumed both. Pure column
     expressions — no UDF, no shuffle.
     """
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
 
     def n_matches(col: Column, pattern: str) -> Column:
@@ -212,6 +215,7 @@ def chunk_dedup(
     (count distinct docs per chunk), then one agg back to doc_id.
     Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac).
     """
+    df = parallel_floor(df, id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n_full = F.floor((F.size(words) - 1) / chunk_words).cast("int")
     chunks = F.filter(
@@ -300,6 +304,7 @@ def filter_verdict(
     column-op punctuation ratio of ``textstats.quality_scores``; one join
     on doc_id. Output: per-gate flags (1 = violated) + ``keep``.
     """
+    df = parallel_floor(df, id_col)
     text = F.col(text_col)
     # Unicode-aware: \w is ASCII-only in both Java regex and the
     # oracle's RE2, so [^\w\s] branded every CJK/Cyrillic/accented
@@ -526,6 +531,7 @@ def hashed_linear_score(
                 ).cast("double") / F.lit(float(2 ** 32)) * 2.0 - 1.0
             ).alias("weight"),
         )
+    df = parallel_floor(df, id_col)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
@@ -590,6 +596,7 @@ def dsir_importance(
     ``F.col("lang") == "en"``). Output: (doc_id, n_feats, score),
     score rounded 1e-6; documents with no non-empty words are absent.
     """
+    df = parallel_floor(df, id_col)
     feats = df.select(
         F.col(id_col).alias("doc_id"),
         target.alias("_is_target"),
@@ -651,6 +658,7 @@ def chunk_documents(
     downstream embedding pass pays anyway. Output: (doc_id, chunk_idx,
     chunk_text, n_words).
     """
+    df = parallel_floor(df, id_col)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     chunks = F.transform(

@@ -246,7 +246,7 @@ def simhash(
     """(doc_id, simhash): bit-majority fingerprint over 16-bit word hashes
     (md5 leading nibbles → int, engine-portable). Near-dups differ in few
     bits; ``simhash_pairs`` generates those pairs by fingerprint banding."""
-    words = df.select(
+    words = _parallel_floor(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word") != "")
@@ -296,7 +296,12 @@ def simhash_pairs(
     assert bits % n_bands == 0, "bits must split evenly into bands"
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
-    fp = simhash(df, id_col, text_col, bits)
+    from waka_spark.plans.pins import pin
+
+    # both band-join sides consume the fingerprint table — pin it, or the
+    # word-explode + md5 + 16-way tally agg runs once per side (the same
+    # duplicate-subtree hazard as minhash_lsh_pairs above)
+    fp = pin(simhash(df, id_col, text_col, bits))
     band_keys = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -151,14 +151,23 @@ def eval_bootstrap_ci(
     """
     import math
 
+    from waka_spark.plans.parallel import parallel_floor
+
     keys = keys or ["subj_url", "pred_url", "obj_url"]
-    per = _eval_on_keys(
-        computed, gold, keys, macro=False, per_doc_rows=True
-    ).select(
+    # floor BEFORE the ×n_boot fan-out: the per-conv counts table is tiny
+    # in bytes, so AQE coalesces it to ~1 partition — and the fan-out
+    # stage FUSES onto that partitioning, putting n_boot × n_convs rows
+    # of md5 work on one core (measured: the whole operator's cost).
+    per = parallel_floor(
+        _eval_on_keys(
+            computed, gold, keys, macro=False, per_doc_rows=True
+        ).select(
+            "conv_id",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+        ),
         "conv_id",
-        F.col("tp").cast("long").alias("tp"),
-        F.col("fp").cast("long").alias("fp"),
-        F.col("fn").cast("long").alias("fn"),
     )
     reps = computed.sparkSession.range(n_boot).select(
         F.col("id").cast("int").alias("b"))
