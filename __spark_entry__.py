@@ -143,9 +143,15 @@ def q_kg_e2e_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping surfaces (conflict-resolution is the identity here, so
     the result is exactly the doc-level rule closure — SQL-derivable)."""
     pipe = _kg_pipeline(spark)
+    # "checkpoint" (eager cut per stage) re-measured faster AND far more
+    # stable than "smart" in round 6 — the fused scan + pinned
+    # multi-consumer frames removed the recompute "smart" was avoiding,
+    # so the shallower per-stage plans win at both bench scales
+    # (sf0.1: 5.1s vs 5.9s best-of-2, sf1: 8.0s vs 9.1s; cold-run spread
+    # 5.3/13.7s — the lazy pins inside one big action race on first run)
     out = pipe.run(
         _transcripts_view(_t(spark, sf_dir, "documents")),
-        resolve=True, cut_lineage="smart",
+        resolve=True, cut_lineage="checkpoint",
     )
     return out["triples"].select("conv_id", "subj_url", "pred_url", "obj_url")
 
@@ -3307,9 +3313,13 @@ def q_kg_prepare_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/unionfind.py) → canonical edge rollup with conversation
     support — extract, resolve, materialize, the north rule's three KG
     verbs composed."""
+    from waka_spark.plans.pins import pin
     from waka_spark.plans.unionfind import connected_components
 
-    triples = q_kg_e2e_triples(spark, sf_dir)
+    # triples feeds three consumers (the edge set + both component joins);
+    # unpinned, each re-runs the conflict-resolution tail of the e2e
+    # pipeline (two Python grouped-map passes per consumer)
+    triples = pin(q_kg_e2e_triples(spark, sf_dir))
     g = triples.select(
         F.col("subj_url").alias("src"), F.col("obj_url").alias("dst"))
     comps = connected_components(g)

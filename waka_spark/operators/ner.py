@@ -81,6 +81,97 @@ def gazetteer_ner(
     return documents.select("conv_id", "text").mapInPandas(scan, MENTION_COLS)
 
 
+SCAN_PRODUCT_COLS = (
+    "conv_id string, kind string, start_idx int, end_idx int, text string, "
+    "e_type string, url string, subj_text string, pred_text string, "
+    "obj_text string"
+)
+_SCAN_PRODUCT_NAMES = [
+    "conv_id", "kind", "start_idx", "end_idx", "text", "e_type", "url",
+    "subj_text", "pred_text", "obj_text",
+]
+
+
+def deterministic_ner_and_rules(
+    documents: DataFrame,
+    gazetteer: Sequence[tuple[str, str]],
+    rule_list: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """The corpus scan products of the deterministic pipeline — fused-NER
+    mentions (rows with ``kind='m'``) AND Aho rule-RE raw triples
+    (``kind='r'``) — in ONE Arrow pass over the document text.
+
+    Document text is the bulk of the corpus bytes; the split mention/
+    extraction stages each shipped the full text to Python separately, so
+    a pipeline run paid two corpus→Arrow→Python passes for two scans of
+    the same strings. Here both automatons (gazetteer NER and rule-surface
+    presence) run per document inside one ``mapInPandas``, and the two
+    products come back in a shared schema the caller splits by ``kind``
+    (pin the combined frame — both splits are consumers). Per-kind rows
+    are bit-identical to :func:`deterministic_ner_fused` and
+    ``relations.aho_relation_extraction`` (pinned by
+    tests/test_round6_scan_fusion.py); transformer backends keep the
+    separate stages.
+    """
+    type_of = {s: t for s, t in gazetteer}
+    surfaces = list(type_of)
+    rules = list(rule_list)
+    rule_surfaces = sorted(
+        {s for s, _, o in rules} | {o for _, _, o in rules})
+    cells: list = []
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not cells:
+            cells.append(make_scanner(surfaces))
+            cells.append(make_scanner(rule_surfaces))
+        gaz_ac, rule_ac = cells
+        for pdf in batches:
+            out = {k: [] for k in _SCAN_PRODUCT_NAMES}
+
+            def emit(conv_id, kind, start=None, end=None, text=None,
+                     e_type=None, url=None, subj=None, pred=None, obj=None):
+                out["conv_id"].append(conv_id)
+                out["kind"].append(kind)
+                out["start_idx"].append(start)
+                out["end_idx"].append(end)
+                out["text"].append(text)
+                out["e_type"].append(e_type)
+                out["url"].append(url)
+                out["subj_text"].append(subj)
+                out["pred_text"].append(pred)
+                out["obj_text"].append(obj)
+
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                if not text:
+                    continue
+                # --- mentions: identical logic to deterministic_ner_fused
+                spans: dict[tuple[int, int], tuple[str, str]] = {}
+                for start, end, surface in gaz_ac.finditer(text):
+                    if word_bounded(text, start, end):
+                        spans[(start, end)] = (surface, type_of[surface])
+                for m in _YEAR_RE.finditer(text):
+                    spans.setdefault(
+                        (m.start(), m.end()), (m.group(0), "DATE"))
+                for m in _NUMBER_RE.finditer(text):
+                    key = (m.start(), m.end())
+                    if key not in spans:
+                        e_type = ("PERCENT" if m.group(0).endswith("%")
+                                  else "CARDINAL")
+                        spans[key] = (m.group(0), e_type)
+                for (s, e), (surface, e_type) in spans.items():
+                    emit(conv_id, "m", start=s, end=e, text=surface,
+                         e_type=e_type, url=encode_literal(surface, e_type))
+                # --- raw triples: identical logic to aho_relation_extraction
+                present = rule_ac.present(text)
+                for subj, pred, obj in rules:
+                    if subj in present and obj in present:
+                        emit(conv_id, "r", subj=subj, pred=pred, obj=obj)
+            yield pd.DataFrame(out, columns=_SCAN_PRODUCT_NAMES)
+
+    return documents.select("conv_id", "text").mapInPandas(
+        scan, SCAN_PRODUCT_COLS)
+
+
 # trailing guard blocks decimal/percent continuations ("3.14"→whole match
 # only, "27%%"→none) but not sentence punctuation ("staff 4019.")
 _NUMBER_RE = re.compile(r"(?<![\w.])[+-]?\d[\d,]*(?:\.\d+)?%?(?!\w|\.\d|%)")

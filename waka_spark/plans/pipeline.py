@@ -116,6 +116,44 @@ class KGPipeline:
             return aho_relation_extraction(documents, self.rules)
         return rule_relation_extraction(documents, self.rules)
 
+    def scan_products(
+        self, documents: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(mentions, raw_triples) — via ONE fused corpus Arrow pass when
+        both stages are the deterministic defaults (document text crosses
+        the JVM→Python boundary once instead of twice; identical per-stage
+        output, pinned by tests/test_round6_scan_fusion.py). Subclassed
+        backends and the theta-join rule path keep the separate stages.
+        """
+        uses_default_scans = (
+            type(self).mentions is KGPipeline.mentions
+            and type(self).raw_triples is KGPipeline.raw_triples
+            and self.use_aho_rules
+        )
+        if not uses_default_scans:
+            return self.mentions(documents), self.raw_triples(documents)
+
+        from waka_spark.operators.ner import deterministic_ner_and_rules
+        from waka_spark.plans.pins import pin
+
+        rule_list = [
+            (r["subj_surface"], r["pred_text"], r["obj_surface"])
+            for r in self.rules.collect()
+        ]
+        combined = pin(deterministic_ner_and_rules(
+            documents, self.gazetteer, rule_list))
+        mentions = combined.filter(F.col("kind") == "m").select(
+            "conv_id", "start_idx", "end_idx", "text", "e_type", "url")
+        raw = combined.filter(F.col("kind") == "r").select(
+            "conv_id",
+            "subj_text",
+            F.lit(None).cast("string").alias("subj_type"),
+            "pred_text",
+            "obj_text",
+            F.lit(None).cast("string").alias("obj_type"),
+        ).dropDuplicates(["conv_id", "subj_text", "pred_text", "obj_text"])
+        return mentions, raw
+
     def linked_triples(self, raw_triples: DataFrame) -> DataFrame:
         return link_predicates(
             raw_triples, self.properties, self.cfg.relation_linker
@@ -197,11 +235,12 @@ class KGPipeline:
         docs = cut_shared(
             self.documents(transcripts).repartition(n_doc_parts, "conv_id")
         )
-        mentions = cut(self.mentions(docs))
+        mentions_raw, raw_scan = self.scan_products(docs)
+        mentions = cut(mentions_raw)
         cands = cut(self.candidates(docs, mentions))
         ents = cut_shared(self.entities(cands))
 
-        raw = self.raw_triples(docs)
+        raw = raw_scan
         linked = cut(self.linked_triples(raw))
 
         fused = cut_shared(self.fused(linked, ents, docs))
