@@ -17,14 +17,19 @@ def _emb(spark, n=12, dim=4):
 
 
 def test_kmeans_assignment_is_narrow(spark):
-    """Codebook assignment must be a pure projection — zero exchanges
-    (the codebook is a plan literal, not a join side)."""
+    """Codebook assignment must be join-free (the codebook is a plan
+    literal, not a join side). Round 6 adds ONE deliberate exchange — the
+    size-guarded parallel floor (plans/parallel.py) that spreads a
+    single-partition scan across cores — so the pin is now: no join, and
+    no exchange other than the explicit REPARTITION_BY_NUM floor."""
     from waka_spark.operators.ann import ivf_centroids, ivf_assign
 
     emb = _emb(spark)
     cents = ivf_centroids(emb, n_cells=2)
     plan = _plan(ivf_assign(emb, cents))
-    assert "Exchange" not in plan
+    assert "Join" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("REPARTITION_BY_NUM" in ln for ln in exchanges), exchanges
 
 
 def test_dsir_weight_join_is_broadcast(spark):
