@@ -496,25 +496,33 @@ def common_neighbors(
     )
 
 
-def _oriented_triangles(
+def _oriented_intersections(
     edges: DataFrame, src: str, dst: str,
     ck=None, assume_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared degree-ordered triangle enumeration (Suri & Vassilvitskii,
     "Counting Triangles and the Curse of the Last Reducer", WWW'11):
     orient each undirected edge from its lower-(degree, id) endpoint to
-    the higher one, enumerate wedges only between a node's ORIENTED
-    out-neighbors, and close a triangle iff the oriented edge between the
-    two wedge tips exists. Every node's oriented out-degree is O(sqrt(m)),
-    so total wedge work is O(m^1.5) regardless of hub degree —
+    the higher one; a triangle is closed for oriented edge (u, v) by each
+    w in N⁺(u) ∩ N⁺(v) (then u→v, u→w, v→w are all oriented, so u is the
+    triangle's unique apex and each triangle appears on exactly one edge
+    row). Every node's oriented out-degree is O(sqrt(m)), so total
+    intersection work is O(m^1.5) regardless of hub degree —
     lexicographic orientation (the naive a<b<c join) instead puts a hub's
     entire neighborhood behind one low-id key and goes quadratic on
     exactly the skewed graphs a KG similarity graph is (Zipf-hot
-    entities). Each triangle is emitted exactly once: it has exactly one
-    lowest-(degree, id) apex.
+    entities). Round 6: the wedge self-join formulation (materialize
+    every ordered out-neighbor pair through an exchange, then probe the
+    closing edge — O(Σ d_out²) shuffled rows) is replaced by grouping
+    out-neighborhoods into per-node arrays and intersecting them inside
+    codegen'd array expressions: the only shuffled payload is the O(m)-
+    entry adjacency table (broadcast when it fits), and per-row array
+    size is bounded by the max oriented out-degree, O(√m).
 
-    Returns ``(deg, triangles)``: per-node degrees over the canonical
-    undirected edge set, and one (u, x, y) row per triangle.
+    Returns ``(deg, closed)``: per-node degrees over the canonical
+    undirected edge set, and one (u, v, _w) row per ORIENTED edge, where
+    ``_w`` is the (possibly empty) array of triangle-closing third
+    corners.
 
     ``ck``: pass a caller-owned :class:`TrackedCheckpoints` so the
     internal eager checkpoints register with IT — an iterative caller
@@ -564,20 +572,69 @@ def _oriented_triangles(
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    oriented = ck.checkpoint(with_deg.select(
+    # Parallel floor decided from CANON's materialized partition count
+    # (round 6): AQE coalesces the small-byte join output to ~1
+    # partition, the checkpoint freezes that partitioning, and the whole
+    # O(m^1.5) intersection below then runs on one core (k_truss round-1
+    # support: 38.8s vs ~6s at sf0.1). A stats probe is unreliable here —
+    # the round state is an ExistingRDD scan (sizeInBytes reports
+    # unknown/Long.Max) and a non-AQE .rdd probe of the join disagrees
+    # with what AQE actually runs — but canon is ALWAYS a materialized
+    # frame (checkpointed above, or the caller's checkpointed round
+    # state per the assume_canonical contract), so its concrete partition
+    # count is an exact, free proxy for graph size: AQE sized those
+    # partitions at its advisory bytes, so fewer-than-cores partitions
+    # means a small frame whose re-spread costs one sub-second shuffle,
+    # while a genuinely large graph keeps >= cores partitions and is
+    # left alone.
+    sc = edges.sparkSession.sparkContext
+    pre = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ))
-    # wedges between out-neighbors of u, deduped by the same (deg, id) order
-    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
-    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
-    wedges = e1.join(e2, "u").filter(
-        (F.col("dx") < F.col("dy"))
-        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-    ).select("u", "x", "y")
-    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    triangles = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    )
+    if canon.rdd.getNumPartitions() < sc.defaultParallelism:
+        pre = pre.repartition(2 * sc.defaultParallelism, "u")
+    oriented = ck.checkpoint(pre)
+    # Close triangles by adjacency-array intersection instead of a wedge
+    # self-join (round 6): the wedge formulation materialized every
+    # ordered out-neighbor pair through an exchange — O(Σ d_out²) rows,
+    # 32M at sf0.1 for 6.4M triangles — then probed the closing edge with
+    # a second shuffle. Equivalent enumeration: for each ORIENTED edge
+    # (u, v), every w ∈ N⁺(u) ∩ N⁺(v) closes the triangle u→v, u→w, v→w
+    # (apex u, and w is after v in the (deg, id) order because v→w is
+    # oriented). Each triangle has exactly one such (apex, first-out)
+    # edge, so the row set is identical to the wedge formulation's. The
+    # only shuffled payload is the grouped adjacency table — O(m) array
+    # entries, broadcast when it fits — and the O(m^1.5) intersection
+    # work runs inside codegen'd array expressions with no multi-10M-row
+    # intermediate. Per-row array size is bounded by the max oriented
+    # out-degree, O(√m) by the orientation argument above.
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
+    adj_u = adj.select(F.col("u"), F.col("_nbrs").alias("_nu"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("_nbrs").alias("_nv"))
+    closed = (
+        oriented.join(adj_u, "u").join(adj_v, "v")
+        .select("u", "v", F.array_intersect("_nu", "_nv").alias("_w"))
+    )
+    return deg, closed
+
+
+def _oriented_triangles(
+    edges: DataFrame, src: str, dst: str,
+    ck=None, assume_canonical: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(deg, triangles): one (u, x, y) row per triangle — apex u, out-
+    neighbors x before y in the (deg, id) order. Thin explode over
+    :func:`_oriented_intersections`; consumers that only need per-corner
+    or per-edge COUNTS should aggregate the intersection rows directly
+    (triangle_count, local_clustering_coefficient, k_truss do) — fanning
+    a non-materialized triangle list out to several union branches
+    re-runs the whole intersection pass once per branch."""
+    deg, closed = _oriented_intersections(
+        edges, src, dst, ck=ck, assume_canonical=assume_canonical)
+    triangles = closed.select(
+        "u", F.col("v").alias("x"), F.explode("_w").alias("y"))
     return deg, triangles
 
 
@@ -586,11 +643,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     the degree-ordered enumeration in :func:`_oriented_triangles`.
 
     Plan shape: one hash-agg for degrees, two hash joins to attach them,
-    one self-join on the wedge apex, one closure join on the tip pair,
-    one global count. Returns a single row (n_triangles).
+    two (broadcast-eligible) adjacency joins, one global sum over the
+    per-edge intersection sizes — no explode at all. Returns a single
+    row (n_triangles).
     """
-    _, triangles = _oriented_triangles(edges, src, dst)
-    return triangles.agg(F.count("*").cast("long").alias("n_triangles"))
+    _, closed = _oriented_intersections(edges, src, dst)
+    return closed.agg(
+        F.coalesce(F.sum(F.size("_w")), F.lit(0))
+        .cast("long").alias("n_triangles"))
 
 
 def local_clustering_coefficient(
@@ -611,14 +671,21 @@ def local_clustering_coefficient(
     Output: (node, degree, n_triangles, lcc) for every node that appears
     in the canonical edge set.
     """
-    deg, triangles = _oriented_triangles(edges, src, dst)
-    corners = (
-        triangles.select(F.col("u").alias("node"))
-        .unionByName(triangles.select(F.col("x").alias("node")))
-        .unionByName(triangles.select(F.col("y").alias("node")))
-    )
+    # One pass over the intersection rows (round 6): each (u, v, W) row
+    # contributes |W| triangles to u and to v and 1 to every w ∈ W —
+    # emitted as a single built array + explode + sum, instead of a
+    # 3-way union over a non-materialized triangle list that re-ran the
+    # whole intersection pass once per branch (no exchange to reuse).
+    deg, closed = _oriented_intersections(edges, src, dst)
+    nt = F.size("_w").cast("long")
+    corners = closed.select(F.explode(F.concat(
+        F.array(F.struct(F.col("u").alias("node"), nt.alias("c")),
+                F.struct(F.col("v").alias("node"), nt.alias("c"))),
+        F.transform("_w", lambda w: F.struct(
+            w.alias("node"), F.lit(1).cast("long").alias("c"))),
+    )).alias("p")).select("p.node", "p.c").filter(F.col("c") > 0)
     tcounts = corners.groupBy("node").agg(
-        F.count("*").cast("long").alias("n_triangles"))
+        F.sum("c").cast("long").alias("n_triangles"))
     return (
         deg.join(tcounts, "node", "left")
         .select(
@@ -1043,19 +1110,31 @@ def k_truss(
         # registers there so the loop can free it once the round's
         # support table is materialized (it leaked per-round before);
         # assume_canonical: e is the checkpointed canonical round state,
-        # re-canonicalizing it was a redundant dedup shuffle per round
-        _, tris = _oriented_triangles(
+        # re-canonicalizing it was a redundant dedup shuffle per round.
+        # Support is summed in ONE pass over the intersection rows
+        # (round 6): each (u, v, W) row supports edge (u,v) |W| times and
+        # edges (u,w), (v,w) once per w ∈ W — a single built array +
+        # explode + sum, instead of a 3-way union over a non-materialized
+        # triangle list that re-ran the whole intersection pass per
+        # branch (no exchange to reuse under the array formulation).
+        _, closed = _oriented_intersections(
             e, "a", "b", ck=sub, assume_canonical=True)
-        corners = (
-            tris.select(F.least("u", "x").alias("a"),
-                        F.greatest("u", "x").alias("b"))
-            .unionByName(tris.select(F.least("u", "y").alias("a"),
-                                     F.greatest("u", "y").alias("b")))
-            .unionByName(tris.select(F.least("x", "y").alias("a"),
-                                     F.greatest("x", "y").alias("b")))
-        )
+        nt = F.size("_w").cast("long")
+        corners = closed.select(F.explode(F.concat(
+            F.array(F.struct(F.least("u", "v").alias("a"),
+                             F.greatest("u", "v").alias("b"),
+                             nt.alias("c"))),
+            F.transform("_w", lambda w: F.struct(
+                F.least(F.col("u"), w).alias("a"),
+                F.greatest(F.col("u"), w).alias("b"),
+                F.lit(1).cast("long").alias("c"))),
+            F.transform("_w", lambda w: F.struct(
+                F.least(F.col("v"), w).alias("a"),
+                F.greatest(F.col("v"), w).alias("b"),
+                F.lit(1).cast("long").alias("c"))),
+        )).alias("p")).select("p.a", "p.b", "p.c").filter(F.col("c") > 0)
         return corners.groupBy("a", "b").agg(
-            F.count("*").cast("long").alias("support"))
+            F.sum("c").cast("long").alias("support"))
 
     # Peeling joins LEFT with coalesce(support, 0) (round-3 fix): an edge
     # in no triangle has support 0, which still satisfies k-2 <= 0 — the

@@ -35,5 +35,19 @@ def parallel_floor(df: DataFrame, key_col: str) -> DataFrame:
     except Exception:  # stats unavailable -> assume small (safe default)
         size_bytes = 0
     if size_bytes >= sc.defaultParallelism * 128 * 1024 * 1024:
-        return df
+        if size_bytes < (1 << 62):
+            return df
+        # Stats UNKNOWN, not large: a localCheckpoint scan (LogicalRDD)
+        # reports Long.MaxValue, which the threshold above misreads as
+        # "huge — skip". That skip serialized k_truss's round-1 support
+        # pass onto the peeled round state's single cached partition
+        # (38.8s vs 7.5s for round 0 at sf0.1). Fall back to the concrete
+        # partition count: exact and cheap for a materialized RDD scan;
+        # for a shuffled plan it reports the shuffle partition count,
+        # which is exactly the parallelism the stage would get.
+        try:
+            if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+                return df
+        except Exception:
+            return df
     return df.repartition(floor, F.col(key_col))
