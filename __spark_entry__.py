@@ -1076,7 +1076,11 @@ def _simhash_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the cache dies with the process either way.
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         path = base + "/edges"
-        symmetrize(simhash_pairs(_t(spark, sf_dir, "documents"))) \
+        # assume_unique: simhash_pairs emits one doc_a < doc_b row per
+        # pair, so both orientations are distinct by construction and the
+        # symmetrize dedup shuffle is redundant (round 6)
+        symmetrize(simhash_pairs(_t(spark, sf_dir, "documents")),
+                   assume_unique=True) \
             .write.mode("overwrite").parquet(path)
         _SIMGRAPH_PATHS[key] = path
     return spark.read.parquet(path)

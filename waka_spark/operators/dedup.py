@@ -315,12 +315,32 @@ def simhash_pairs(
     ).select("doc_id", "simhash",
              F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
 
+    # Salted self-join (round 6): a band key is only ``band_width`` bits
+    # wide, so the join has at most n_bands * 2**band_width distinct
+    # groups (64 here) — parallelism is capped there regardless of
+    # cluster size, and the per-bucket pair enumeration is quadratic in
+    # the bucket. Slice the left side by a deterministic doc hash and
+    # replicate the right side once per slice (guide-standard hot-key
+    # salting): the pair set is unchanged, per-task work drops by
+    # n_salt, and the only cost is shuffling the (12-byte-row)
+    # fingerprint table n_salt more times. Sized so the scheduler sees
+    # ~4 slices per core over the fixed group count — a constant salt
+    # either overshoots small runs (pure shuffle overhead) or
+    # undershoots big clusters.
+    sc = df.sparkSession.sparkContext
+    n_groups = n_bands * (1 << band_width)
+    n_salt = max(1, -(-4 * sc.defaultParallelism // n_groups))
     a = tagged.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("fp_a"), "band", "key")
+                      F.col("simhash").alias("fp_a"), "band", "key",
+                      F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+                      .alias("_salt"))
     b = tagged.select(F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("fp_b"), "band", "key")
+    b = b.withColumn(
+        "_salt", F.explode(F.array(
+            *[F.lit(s).cast("long") for s in range(n_salt)])))
     return (
-        a.join(b, ["band", "key"])
+        a.join(b, ["band", "key", "_salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "hamming",

@@ -39,15 +39,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+def symmetrize(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+    assume_unique: bool = False,
+) -> DataFrame:
     """Undirected pair list → directed edge list with both orientations
-    (deduped): (src, dst)."""
-    return (
+    (deduped): (src, dst).
+
+    ``assume_unique``: skip the dedup shuffle when the caller guarantees
+    the input pairs are already unique with ``a != b`` and one row per
+    unordered pair (e.g. the banded dedup operators' canonical
+    ``doc_a < doc_b`` output) — both orientations are then distinct by
+    construction and ``distinct()`` would be a provably redundant full
+    exchange of the edge list."""
+    out = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    return out if assume_unique else out.distinct()
 
 
 def pagerank(
