@@ -38,6 +38,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from waka_spark.plans.parallel import parallel_floor
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint an iteration-state frame (ranks, labels, frontier,
+    dist) when its known row count proves it fits comfortably (round 6).
+    The per-round state is a checkpointed ExistingRDD whose stats report
+    unknown, so the planner falls back to sort-merge and RE-SHUFFLES AND
+    RE-SORTS THE FULL EDGE TABLE EVERY ROUND — 10 edge-table exchanges
+    for a 10-round PageRank. The iterative operators all count their
+    node set anyway, so the decision is exact: under ~64 MB framed
+    (the session's autoBroadcastJoinThreshold), broadcast; a large graph
+    keeps the shuffle join."""
+    if n_rows is not None and n_rows * 24 <= 64 * 1024 * 1024:
+        return F.broadcast(df)
+    return df
+
+
+def _floor_edges(edges: DataFrame, src: str) -> DataFrame:
+    """Scan-parallelism floor applied at every operator's edge ingest
+    (round 6): the shared similarity-graph parquet is one ~36 MB file →
+    ONE scan partition, so without this every per-edge compute pass
+    (frontier joins, md5 walk hashing, contribution products) runs on a
+    single core while the cluster idles. Size-guarded: a genuinely large
+    edge table is left alone (plans/parallel.py)."""
+    return parallel_floor(edges, src)
+
 
 def symmetrize(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
@@ -98,8 +125,9 @@ def pagerank(
     # persist makes those sibling stages race to populate the cold cache
     # and each recompute the upstream edge build (see random_walks)
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
-                     w_expr.alias("_w")))
+        _floor_edges(edges, src).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            w_expr.alias("_w")))
     deg = e.groupBy("src").agg(
         F.count("*").cast("double").alias("outdeg")
         if weight_col is None else F.sum("_w").alias("outdeg"))
@@ -124,7 +152,9 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(n_iter):
         contribs = (
-            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            out_edges.join(
+                _maybe_broadcast(ranks, n),
+                out_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("_w") / F.col("outdeg")).alias("c"),
@@ -133,7 +163,7 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         new_ranks = ck.checkpoint(
-            nodes.join(contribs, "node", "left")
+            nodes.join(_maybe_broadcast(contribs, n), "node", "left")
             .select(
                 "node",
                 (
@@ -184,7 +214,8 @@ def hits(
     # EAGER: nodes below scans e twice (union branches) in one job — same
     # lazy-persist race as pagerank's edge build
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -205,19 +236,21 @@ def hits(
     ))
     for _ in range(n_iter):
         auth = (
-            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            e.join(_maybe_broadcast(
+                scores.select(F.col("node").alias("src"), "hub"), n), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
         hub = (
-            e.join(auth.select(F.col("node").alias("dst"),
-                               F.col("authority").alias("_av")), "dst")
+            e.join(_maybe_broadcast(
+                auth.select(F.col("node").alias("dst"),
+                            F.col("authority").alias("_av")), n), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("_av").alias("hub"))
         )
         new_scores = ck.checkpoint(
-            nodes.join(hub, "node", "left")
-            .join(auth, "node", "left")
+            nodes.join(_maybe_broadcast(hub, n), "node", "left")
+            .join(_maybe_broadcast(auth, n), "node", "left")
             .select(
                 "node",
                 F.coalesce("hub", F.lit(0.0)).alias("hub"),
@@ -264,7 +297,8 @@ def bfs_distances(
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     # seeds are deduped and intersected with the graph's node set
     # (round-3 fix): stale/foreign seed ids (entities resolved away by a
     # merge pass) must not surface as phantom dist-0 rows in a result
@@ -281,8 +315,11 @@ def bfs_distances(
         .select("node", F.lit(0).cast("long").alias("dist"))
     )
     for _ in range(n_iter):
+        # per-round count is exact and near-free (dist is materialized);
+        # it drives the broadcast-vs-shuffle choice (_maybe_broadcast)
         expanded = (
-            e.join(dist, e["src"] == dist["node"])
+            e.join(_maybe_broadcast(dist, dist.count()),
+                   e["src"] == dist["node"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         new_dist = ck.checkpoint(
@@ -330,7 +367,8 @@ def label_propagation(
     # EAGER e: the nodes union scans it twice in one job (race — see
     # random_walks / pagerank)
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -339,11 +377,14 @@ def label_propagation(
     )
 
     labels = ck.checkpoint(nodes.withColumn("community", F.col("node")))
+    # node count (cheap — labels just materialized) drives the broadcast-
+    # vs-shuffle choice for every round's state join (_maybe_broadcast)
+    n = labels.count()
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("community").asc())
     for _ in range(n_iter):
         neigh = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(_maybe_broadcast(labels, n), e["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"), "community")
             .agg(F.count("*").alias("cnt"))
             .withColumn("_rn", F.row_number().over(w))
@@ -351,8 +392,9 @@ def label_propagation(
             .select("node", "community")
         )
         new_labels = ck.checkpoint(
-            labels.join(neigh.withColumnRenamed("community", "_new"),
-                        "node", "left")
+            labels.join(_maybe_broadcast(
+                neigh.withColumnRenamed("community", "_new"), n),
+                "node", "left")
             .select(
                 "node",
                 F.coalesce("_new", "community").alias("community"),
@@ -389,14 +431,23 @@ def k_core(
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     alive = ck.checkpoint(e.select(F.col("src").alias("node")).distinct())
     deg = None
     prev_alive = None
     for _ in range(n_iter):
+        # per-round count is exact and near-free (alive is materialized);
+        # broadcast the survivor set into both semi joins when it fits
+        # (_maybe_broadcast) instead of shuffling the edge table twice
+        n_alive = alive.count()
         live_edges = (
-            e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            e.join(_maybe_broadcast(
+                alive.withColumnRenamed("node", "src"), n_alive),
+                "src", "left_semi")
+            .join(_maybe_broadcast(
+                alive.withColumnRenamed("node", "dst"), n_alive),
+                "dst", "left_semi")
         )
         deg = (
             live_edges.groupBy(F.col("src").alias("node"))
@@ -416,9 +467,14 @@ def k_core(
     # neighbors that round peeled — wrong even within the returned
     # subgraph. Same final-recompute discipline as k_truss's support.
     # Converged runs are unchanged (nothing peeled ⇒ same degrees).
+    n_alive = alive.count()
     final_edges = (
-        e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
-        .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        e.join(_maybe_broadcast(
+            alive.withColumnRenamed("node", "src"), n_alive),
+            "src", "left_semi")
+        .join(_maybe_broadcast(
+            alive.withColumnRenamed("node", "dst"), n_alive),
+            "dst", "left_semi")
     )
     # left-join the recomputed degrees onto the survivor set (round-4,
     # ADVICE): on NON-converged runs a survivor whose last-round
@@ -472,7 +528,8 @@ def common_neighbors(
     # anti-join — sibling branches of one action (lazy-persist race, see
     # random_walks)
     e = TrackedCheckpoints(edges.sparkSession).checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -561,24 +618,32 @@ def _oriented_intersections(
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
         canon = ck.checkpoint(
-            edges.select(
+            _floor_edges(edges, src).select(
                 F.least(F.col(src), F.col(dst)).alias("a"),
                 F.greatest(F.col(src), F.col(dst)).alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    deg = (
+    # deg is node-sized — materialize it (one tiny job) so its exact row
+    # count can drive a broadcast for the two degree-attach joins below;
+    # with unknown ExistingRDD stats the planner otherwise sort-merges,
+    # shuffling AND sorting the full edge list twice per enumeration
+    # (k_truss pays that per round) (round 6)
+    deg = ck.checkpoint(
         canon.select(F.col("a").alias("node"))
         .unionByName(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
+    n_deg = deg.count()
     with_deg = (
-        canon.join(deg.withColumnRenamed("node", "a")
-                   .withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b")
-              .withColumnRenamed("deg", "db"), "b")
+        canon.join(_maybe_broadcast(
+            deg.withColumnRenamed("node", "a")
+            .withColumnRenamed("deg", "da"), n_deg), "a")
+        .join(_maybe_broadcast(
+            deg.withColumnRenamed("node", "b")
+            .withColumnRenamed("deg", "db"), n_deg), "b")
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
@@ -621,10 +686,17 @@ def _oriented_intersections(
     # intermediate. Per-row array size is bounded by the max oriented
     # out-degree, O(√m) by the orientation argument above.
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
+    # broadcast budget for adj = one row per apex node plus one array
+    # entry per oriented edge; both counts are exact and near-free
+    # (oriented is materialized). Under the threshold the two adjacency
+    # attaches become broadcast probes over oriented's partitions; a
+    # large graph keeps the shuffle join.
+    adj_rows = n_deg + oriented.count()
     adj_u = adj.select(F.col("u"), F.col("_nbrs").alias("_nu"))
     adj_v = adj.select(F.col("u").alias("v"), F.col("_nbrs").alias("_nv"))
     closed = (
-        oriented.join(adj_u, "u").join(adj_v, "v")
+        oriented.join(_maybe_broadcast(adj_u, adj_rows), "u")
+        .join(_maybe_broadcast(adj_v, adj_rows), "v")
         .select("u", "v", F.array_intersect("_nu", "_nv").alias("_w"))
     )
     return deg, closed
@@ -750,18 +822,26 @@ def random_walks(
 
     ck = TrackedCheckpoints(edges.sparkSession)
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    frontier = (
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")))
+    frontier = ck.checkpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .select(F.col("node").alias("walk_id"), F.col("node").alias("cur"))
     )
+    # walk count, exact and cheap (frontier just materialized): the
+    # frontier only shrinks (sink walks end), so one count bounds every
+    # step's broadcast decision (_maybe_broadcast — without it the
+    # planner sort-merges, re-shuffling and re-sorting the full edge
+    # table once per step)
+    n_walks = frontier.count()
     out = frontier.select(
         "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
     for s in range(1, length + 1):
         hop = (
-            frontier.join(e, frontier["cur"] == e["src"])
+            _maybe_broadcast(frontier, n_walks)
+            .join(e, frontier["cur"] == e["src"])
             .select(
                 "walk_id",
                 F.col("dst"),
@@ -879,7 +959,8 @@ def modularity(
     a pruned/partial assignment.
 
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
     la = labels.select(
         F.col(node_col).alias("src"), F.col(community_col).alias("_ca"))
     lb = labels.select(
@@ -948,7 +1029,8 @@ def adamic_adar(
     # EAGER: e feeds wedge sides, the degree agg, and the adjacency
     # anti-join — sibling branches of one action (see random_walks)
     e = TrackedCheckpoints(edges.sparkSession).checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -1019,8 +1101,9 @@ def personalized_pagerank(
         else F.col(weight_col).cast("double")
     )
     e = ck.checkpoint(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
-                     w_expr.alias("_w")))
+        _floor_edges(edges, src).select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            w_expr.alias("_w")))
     deg = e.groupBy("src").agg(
         F.count("*").cast("double").alias("outdeg")
         if weight_col is None else F.sum("_w").alias("outdeg"))
@@ -1045,10 +1128,15 @@ def personalized_pagerank(
     )
 
     ranks = ck.checkpoint(nodes.select("node", F.col("_sv").alias("rank")))
+    # exact node count (cheap — ranks is already materialized): drives
+    # the broadcast-vs-shuffle choice for every round's state join
+    n = ranks.count()
     restart = F.lit(1.0 - damping) * F.col("_sv")
     for _ in range(n_iter):
         contribs = (
-            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            out_edges.join(
+                _maybe_broadcast(ranks, n),
+                out_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("_w") / F.col("outdeg")).alias("c"),
@@ -1057,7 +1145,7 @@ def personalized_pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         new_ranks = ck.checkpoint(
-            nodes.join(contribs, "node", "left")
+            nodes.join(_maybe_broadcast(contribs, n), "node", "left")
             .select(
                 "node",
                 (
@@ -1107,7 +1195,7 @@ def k_truss(
 
     ck = TrackedCheckpoints(edges.sparkSession)
     canon = ck.checkpoint(
-        edges.select(
+        _floor_edges(edges, src).select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
@@ -1213,7 +1301,8 @@ def extract_subgraph(
     """
     dist = bfs_distances(edges, seeds, n_iter=n_hops, src=src, dst=dst,
                          node=node)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
     return (
         e.join(
             dist.select(F.col("node").alias("src"),
@@ -1243,7 +1332,7 @@ def degree_distribution(
     floor(log2(degree)) and min_degree = 2^bin.
     """
     canon = (
-        edges.select(
+        _floor_edges(edges, src).select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
@@ -1292,7 +1381,7 @@ def degree_assortativity(
     either side is 0 (regular graphs — correlation undefined).
     """
     canon = (
-        edges.select(
+        _floor_edges(edges, src).select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
@@ -1371,7 +1460,8 @@ def reciprocity(
     Output: one row (n_edges, n_reciprocal, reciprocity).
     """
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        _floor_edges(edges, src).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
