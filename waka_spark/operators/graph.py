@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from waka_spark.plans.parallel import parallel_floor
+from waka_spark.plans.parallel import maybe_broadcast, parallel_floor
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
@@ -50,10 +50,8 @@ def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
     for a 10-round PageRank. The iterative operators all count their
     node set anyway, so the decision is exact: under ~64 MB framed
     (the session's autoBroadcastJoinThreshold), broadcast; a large graph
-    keeps the shuffle join."""
-    if n_rows is not None and n_rows * 24 <= 64 * 1024 * 1024:
-        return F.broadcast(df)
-    return df
+    keeps the shuffle join. (Shared impl: plans/parallel.py.)"""
+    return maybe_broadcast(df, n_rows)
 
 
 def _floor_edges(edges: DataFrame, src: str) -> DataFrame:
@@ -959,17 +957,27 @@ def modularity(
     a pruned/partial assignment.
 
     """
+    from waka_spark.plans.iterate import TrackedCheckpoints
+
+    ck = TrackedCheckpoints(edges.sparkSession)
     e = _floor_edges(edges, src).select(
         F.col(src).alias("src"), F.col(dst).alias("dst"))
-    la = labels.select(
-        F.col(node_col).alias("src"), F.col(community_col).alias("_ca"))
-    lb = labels.select(
-        F.col(node_col).alias("dst"), F.col(community_col).alias("_cb"))
-    from waka_spark.plans.iterate import TrackedCheckpoints
+    # labels usually arrive as label_propagation's checkpointed output —
+    # unknown stats, so the two attach joins would sort-merge (and
+    # re-shuffle) the edge table. The label table is node-sized:
+    # materialize it once, count it (near-free), broadcast when it fits
+    # (round 6, _maybe_broadcast).
+    lab = ck.checkpoint(labels.select(
+        F.col(node_col).alias("_n"), F.col(community_col).alias("_c")))
+    n_lab = lab.count()
+    la = _maybe_broadcast(lab.select(
+        F.col("_n").alias("src"), F.col("_c").alias("_ca")), n_lab)
+    lb = _maybe_broadcast(lab.select(
+        F.col("_n").alias("dst"), F.col("_c").alias("_cb")), n_lab)
 
     # EAGER: tagged feeds deg / within / m — three sibling branches of one
     # action (lazy-persist race, see random_walks)
-    tagged = TrackedCheckpoints(edges.sparkSession).checkpoint(
+    tagged = ck.checkpoint(
         e.join(la, "src").join(lb, "dst"))
 
     deg = tagged.groupBy("_ca").agg(F.count("*").alias("d_c"))

@@ -41,6 +41,7 @@ def connected_components(
     left-join and coalesce to the node id).
     """
     from waka_spark.plans.iterate import TrackedCheckpoints
+    from waka_spark.plans.parallel import maybe_broadcast
 
     ck = TrackedCheckpoints(edges.sparkSession)
     sym = ck.checkpoint(
@@ -53,15 +54,34 @@ def connected_components(
         # plan (for dedup clustering that's the full shingle-join pair
         # generation — measured 41.5s -> ~8s for dedup_clusters at sf0.1)
     )
+    # parallel floor on the materialized edge set (round 6): AQE often
+    # coalesces the distinct's output to ~1 partition for small-byte
+    # graphs, and the checkpoint freezes that — every round's neighbor
+    # join then probes on one core. Exact facts (partition count, then a
+    # count on the already-materialized frame) drive the re-spread; a
+    # genuinely large graph keeps its >= cores partitions.
+    sc = edges.sparkSession.sparkContext
+    if sym.rdd.getNumPartitions() < sc.defaultParallelism:
+        if sym.count() * 48 < sc.defaultParallelism * 128 * 1024**2:
+            respread = ck.checkpoint(
+                sym.repartition(2 * sc.defaultParallelism, "b"))
+            ck.release(sym)
+            sym = respread
     labels = ck.checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # node count (near-free — labels just materialized): drives the
+    # broadcast-vs-shuffle choice for every round's three state joins;
+    # with unknown ExistingRDD stats the planner otherwise sort-merges,
+    # re-shuffling the edge set AND both label tables per round.
+    n_nodes = labels.count()
 
     for _ in range(max_iter):
         neighbor_labels = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(maybe_broadcast(labels, n_nodes, row_bytes=48),
+                     sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "component")
         )
         propagated = (
@@ -78,7 +98,8 @@ def connected_components(
         )
         new_labels = ck.checkpoint(
             propagated
-            .join(lbl_map, propagated["component"] == lbl_map["_m_node"], "left")
+            .join(maybe_broadcast(lbl_map, n_nodes, row_bytes=48),
+                  propagated["component"] == lbl_map["_m_node"], "left")
             .select(
                 "node",
                 F.coalesce("_m_comp", "component").alias("component"),
@@ -86,7 +107,8 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(maybe_broadcast(labels.alias("o"), n_nodes, row_bytes=48),
+                  "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
