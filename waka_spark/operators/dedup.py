@@ -90,14 +90,17 @@ def ngram_jaccard_pairs(
     the shingle equi-join *is* the candidate generation. ``max_shingle_freq``
     drops shingles appearing in more than that many docs (skew guard).
     """
-    # The shingle frame feeds THREE subtrees below (sizes, both self-join
-    # sides), and an unpinned frame re-runs the CPU-heavy corpus shingle
-    # pass once per consumer (the planner broadcasts one join side at
-    # small sizes, so there is no exchange to reuse). Pin it: the scan +
-    # shingle explode executes ONCE; consumers read the cached rows.
-    from waka_spark.plans.pins import pin
-
-    shingles = pin(_doc_shingles(df, id_col, text_col, n))
+    # The shingle frame feeds three subtrees below (sizes, both self-join
+    # sides) — but do NOT pin it (round-6 measured: pinning regressed the
+    # unguarded operator 0.99s -> 7.43s at sf0.1). Recompute is the right
+    # trade at every size: small corpora recompute the narrow explode in
+    # parallel for less than the cost of materializing + re-reading the
+    # cached string rows (and the accurate InMemoryRelation stats flip
+    # the self-join from broadcast to sort-merge), while at corpus scale
+    # the self-join is sort-merge anyway and both sides hash-partition on
+    # shingle through ONE exchange that Spark de-duplicates
+    # (ReusedExchange) — the explode executes once there regardless.
+    shingles = _doc_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         # document-frequency guard as ONE window over the shared shingle
         # partitioning (no further exchange), not a groupBy+self-join
@@ -108,12 +111,12 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
 
-    from waka_spark.plans.pins import pin
-
-    # two join consumers below; one row per doc — pin the tiny aggregate
-    sizes = pin(
-        shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    )
+    # two join consumers below — not pinned either (round-6 measured:
+    # even this one-row-per-doc pin regressed the operator 0.95s ->
+    # 6.0s at sf0.1; at scale the two branches' agg subtrees are
+    # identical — same exchange by doc_id — so ReusedExchange computes
+    # the aggregate once regardless)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
