@@ -78,16 +78,37 @@ def connected_components(
     # re-shuffling the edge set AND both label tables per round.
     n_nodes = labels.count()
 
+    # labels_ck is the checkpointed frame backing the (node, component)
+    # view in `labels` — TrackedCheckpoints bookkeeping is by frame
+    # identity, and from round 1 on the checkpoint carries a `_chg`
+    # convergence flag the view drops.
+    labels_ck = labels
     for _ in range(max_iter):
-        neighbor_labels = (
+        # Round fused with its own convergence check (round 6): labels
+        # only ever DECREASE under min-propagation, so carrying the old
+        # label through the round and flagging `_chg = new != old` inside
+        # the checkpointed plan replaces the former separate
+        # new-vs-old join action (one full label-table join per round)
+        # with a near-free filter over the just-materialized blocks.
+        # `least(old, min-over-neighbors)` over a left join is the same
+        # math as the former union+groupBy-min (least skips the null of
+        # neighborless nodes), and it no longer pushes the n_nodes label
+        # rows through the groupBy exchange alongside the edge rows.
+        neighbor_min = (
             sym.join(maybe_broadcast(labels, n_nodes, row_bytes=48),
                      sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("_n_comp"))
         )
         propagated = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            labels.join(maybe_broadcast(neighbor_min, n_nodes,
+                                        row_bytes=48), "node", "left")
+            .select(
+                "node",
+                F.least("component", "_n_comp").alias("component"),
+                F.col("component").alias("_old"),
+            )
         )
         # pointer jumping (path halving): a label is itself a node id, so
         # one self-join replaces each label with its label's label —
@@ -96,32 +117,28 @@ def connected_components(
         lbl_map = propagated.select(
             F.col("node").alias("_m_node"), F.col("component").alias("_m_comp")
         )
-        new_labels = ck.checkpoint(
+        final_comp = F.coalesce("_m_comp", "component")
+        new_ck = ck.checkpoint(
             propagated
             .join(maybe_broadcast(lbl_map, n_nodes, row_bytes=48),
                   propagated["component"] == lbl_map["_m_node"], "left")
             .select(
                 "node",
-                F.coalesce("_m_comp", "component").alias("component"),
+                final_comp.alias("component"),
+                (final_comp != F.col("_old")).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(maybe_broadcast(labels.alias("o"), n_nodes, row_bytes=48),
-                  "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # the previous round's labels are dead once the convergence check
-        # above has run — release its blocks so storage holds TWO label
+        changed = new_ck.filter(F.col("_chg")).limit(1).count()
+        # the previous round's labels are dead once the new round is
+        # materialized — release its blocks so storage holds TWO label
         # tables at any time, not one per round (25 rounds x a 10^9-node
         # label table would evict the rest of the job's cached state)
-        ck.release(labels)
-        labels = new_labels
+        ck.release(labels_ck)
+        labels_ck = new_ck
+        labels = new_ck.select("node", "component")
         if changed == 0:
             break
-    ck.release_all_except(labels)
+    ck.release_all_except(labels_ck)
     return labels
 
 
