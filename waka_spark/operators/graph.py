@@ -352,13 +352,12 @@ def label_propagation(
 
     Scale shape per round: labels ⋈ edges on src (hash join, the edge
     side persisted once), groupBy (dst, label) with map-side partial
-    counts, then a per-node argmax window (partitioned by node — never a
-    global window). State shuffled per round is (node, label) only.
+    counts, then a per-node argmax via min(struct(-cnt, label)) — a
+    hash-agg with map-side partials, never a sort or a global window.
+    State shuffled per round is (node, label) only.
     Fixed iteration budget keeps it oracle-portable (the SQL mirror
     chains one CTE per round).
     """
-    from pyspark.sql import Window
-
     from waka_spark.plans.iterate import TrackedCheckpoints
 
     ck = TrackedCheckpoints(edges.sparkSession)
@@ -378,16 +377,23 @@ def label_propagation(
     # node count (cheap — labels just materialized) drives the broadcast-
     # vs-shuffle choice for every round's state join (_maybe_broadcast)
     n = labels.count()
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("community").asc())
     for _ in range(n_iter):
+        # per-node argmax as min(struct(-cnt, community)) instead of a
+        # row_number window (round 6): struct ordering is field-wise, so
+        # the min picks (largest cnt, then smallest community) — the same
+        # row the (cnt desc, community asc) window rank 1 picked — but a
+        # hash-agg does map-side partials and never sorts the per-node
+        # candidate lists the window had to materialize.
         neigh = (
             e.join(_maybe_broadcast(labels, n), e["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"), "community")
             .agg(F.count("*").alias("cnt"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "community")
+            .groupBy("node")
+            .agg(F.min(F.struct(
+                (-F.col("cnt")).alias("_neg"),
+                F.col("community").alias("community"),
+            )).alias("_top"))
+            .select("node", F.col("_top.community").alias("community"))
         )
         new_labels = ck.checkpoint(
             labels.join(_maybe_broadcast(
