@@ -242,17 +242,28 @@ def q_kg_clustering_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 — cluster-head extraction: per part, the supplier of its
     max-price lineitem (deterministic tie-break), plus cluster size."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_suppkey").asc(),
-        F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
-    )
-    ranked = li.withColumn("_rn", F.row_number().over(w))
-    sizes = li.groupBy("l_partkey").agg(F.count("*").alias("n_items"))
+    # argmax + cluster size in ONE hash-agg (round 6): the former
+    # row_number window sorted every cluster's rows and a separate count
+    # agg re-shuffled the table for a join back. min(struct(...)) with
+    # field-wise struct ordering picks exactly the (price desc, suppkey
+    # asc, orderkey asc, linenumber asc) rank-1 row, aggregates with
+    # map-side partials, and shares its single exchange with the count —
+    # 2 Exchanges + full sort -> 1 Exchange, no sort, no join.
+    top = F.min(F.struct(
+        (-F.col("l_extendedprice")).alias("_negp"),
+        F.col("l_suppkey").alias("s"),
+        F.col("l_orderkey").alias("o"),
+        F.col("l_linenumber").alias("l"),
+    ))
     return (
-        ranked.filter(F.col("_rn") == 1)
-        .select("l_partkey", F.col("l_suppkey").alias("head_suppkey"),
-                F.round("l_extendedprice", 2).alias("head_price"))
-        .join(sizes, "l_partkey")
+        li.groupBy("l_partkey")
+        .agg(top.alias("_top"), F.count("*").alias("n_items"))
+        .select(
+            "l_partkey",
+            F.col("_top.s").alias("head_suppkey"),
+            F.round(-F.col("_top._negp"), 2).alias("head_price"),
+            "n_items",
+        )
     )
 
 
@@ -268,14 +279,23 @@ def q_kg_fusion_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", (F.col("c_acctbal") + F.col("s_acctbal")) / 2.0)
         .filter(F.col("score") >= 1000.0)
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("score").desc(), F.col("c_custkey").asc(), F.col("s_suppkey").asc()
-    )
+    # per-nation argmax as min(struct(...)) — same rank-1 row as the
+    # former (score desc, custkey asc, suppkey asc) window, but a
+    # hash-agg with map-side partials instead of a per-nation sort
+    # (round 6, same rewrite as kg_clustering_argmax)
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("c_nationkey", "c_custkey", "s_suppkey",
-                F.round("score", 2).alias("score"))
+        pairs.groupBy("c_nationkey")
+        .agg(F.min(F.struct(
+            (-F.col("score")).alias("_negs"),
+            F.col("c_custkey").alias("c"),
+            F.col("s_suppkey").alias("s"),
+        )).alias("_top"))
+        .select(
+            "c_nationkey",
+            F.col("_top.c").alias("c_custkey"),
+            F.col("_top.s").alias("s_suppkey"),
+            F.round(-F.col("_top._negs"), 2).alias("score"),
+        )
     )
 
 
@@ -288,13 +308,15 @@ def q_kg_containment_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q string",
     )
     hits = docs.join(F.broadcast(queries), F.col("text").contains(F.col("q")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("q").desc(), F.col("q").asc()
-    )
+    # per-doc argmax as min(struct(-len, q)) — identical to the former
+    # (length desc, q asc) rank-1 window, no per-doc sort (round 6)
     return (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", F.col("q").alias("best_key"))
+        hits.groupBy("doc_id")
+        .agg(F.min(F.struct(
+            (-F.length("q")).alias("_negl"),
+            F.col("q").alias("q"),
+        )).alias("_top"))
+        .select("doc_id", F.col("_top.q").alias("best_key"))
     )
 
 
@@ -1508,19 +1530,22 @@ def q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_out").alias("out_cnt"),
         F.countDistinct("conv_id").alias("conv_cnt"),
     )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("pred_count"), F.asc("pred")
-    )
     totals = ends.groupBy("node").agg(
         F.count("*").cast("long").alias("degree"),
         F.sum("is_out").cast("long").alias("out_degree"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
     )
+    # per-node top predicate as min(struct(-count, pred)) — same row as
+    # the former (pred_count desc, pred asc) rank-1 window without the
+    # per-node sort (round 6)
     top = (
-        per_pred.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("node", F.col("pred").alias("top_pred"),
-                F.col("pred_count").cast("long").alias("top_pred_count"))
+        per_pred.groupBy("node")
+        .agg(F.min(F.struct(
+            (-F.col("pred_count")).alias("_negc"),
+            F.col("pred").alias("pred"),
+        )).alias("_top"))
+        .select("node", F.col("_top.pred").alias("top_pred"),
+                (-F.col("_top._negc")).cast("long").alias("top_pred_count"))
     )
     return totals.join(top, "node")
 
