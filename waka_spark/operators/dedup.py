@@ -812,6 +812,16 @@ def minhash_recall(
 
     Output: one row (threshold, n_true_pairs, n_caught, recall); recall
     is NULL when there are no true pairs (nothing to measure).
+
+    CACHE LIFETIME (round-5 ADVICE / round-6): when ``sample_fraction``
+    is set, the pinned sample persists for the session unless this call
+    runs inside a ``plans.pins.pin_scope`` (the serve path does) or the
+    caller clears it (``spark.catalog.clearCache()``, as bench.py does
+    after every query). Long-lived processes issuing many sampled calls
+    should wrap each in a ``pin_scope`` — outside one, each call leaks a
+    CacheManager entry for the session's lifetime by design (the
+    returned frame is lazy, so the pin cannot be released here without
+    destroying the one-sample guarantee it exists to provide).
     """
     if sample_fraction is not None:
         # The sample is consumed by TWO lineages (truth + candidate).
